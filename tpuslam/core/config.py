@@ -1,0 +1,220 @@
+"""Frozen config dataclasses mirroring the reference's YAML/ROS-param names.
+
+The YAML parameter names are the reference's de-facto public API; every field
+here keeps the exact reference name and default so users can port configs 1:1
+(reference: lesson3/src/plicp_odometry.cc:58-186,
+lesson4/src/hector_mapping/hector_slam.cc:119-160,
+lesson6/config/mapper_params_outdoor.yaml, lesson6/src/karto_slam.cc:81-252,
+lesson5/src/lidar_undistortion.cc:30-60,
+lesson1/src/feature_detection.cc:23,69).
+
+Configs are frozen (hashable) so engines can take them as jit static args.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+@dataclasses.dataclass(frozen=True)
+class FeatureConfig:
+    """Lesson1 curvature feature extraction (feature_detection.cc)."""
+
+    max_scan_count: int = 1500  # feature_detection.cc:23
+    edge_threshold: float = 1.0  # feature_detection.cc:69
+    num_segments: int = 6  # feature_detection.cc:139-150
+    max_corners_per_segment: int = 20  # feature_detection.cc:152-170
+    curvature_halfwin: int = 5  # feature_detection.cc:112-124
+
+
+@dataclasses.dataclass(frozen=True)
+class IcpConfig:
+    """Lesson2 point-to-point ICP (PCL defaults, scan_match_icp.cc:135-164)."""
+
+    max_iterations: int = 10  # PCL default
+    max_correspondence_dist: float = 1.0
+    transformation_epsilon: float = 1e-8
+    num_beams: int = 1500
+
+
+@dataclasses.dataclass(frozen=True)
+class PlicpConfig:
+    """Lesson3 CSM PL-ICP knobs (plicp_odometry.cc:58-186); names/defaults 1:1.
+
+    Fields that only steer CSM-internal heuristics we do not reproduce
+    (corr tricks verification, ML weights) are kept for config compatibility
+    but ignored by the kernel, as documented per field.
+    """
+
+    # keyframe gating (plicp_odometry.cc:63-67; yaml overrides 0.1 / 5)
+    kf_dist_linear: float = 0.1
+    kf_dist_angular: float = 5.0 * math.pi / 180.0
+    kf_scan_count: int = 10
+
+    # CSM core
+    max_angular_correction_deg: float = 45.0
+    max_linear_correction: float = 1.0
+    max_iterations: int = 10
+    epsilon_xy: float = 1e-6
+    epsilon_theta: float = 1e-6
+    max_correspondence_dist: float = 1.0
+    sigma: float = 0.010  # ignored (only used by CSM covariance path)
+    use_corr_tricks: int = 1  # ignored (TPU search is dense/batched anyway)
+    restart: int = 0
+    restart_threshold_mean_error: float = 0.01
+    restart_dt: float = 1.0
+    restart_dtheta: float = 0.1
+    clustering_threshold: float = 0.25
+    orientation_neighbourhood: int = 20
+    use_point_to_line_distance: int = 1
+    do_alpha_test: int = 0
+    do_alpha_test_thresholdDeg: float = 20.0
+    outliers_maxPerc: float = 0.90
+    outliers_adaptive_order: float = 0.7
+    outliers_adaptive_mult: float = 2.0
+    do_visibility_test: int = 0
+    outliers_remove_doubles: int = 1
+    do_compute_covariance: int = 0
+    debug_verify_tricks: int = 0  # ignored
+    use_ml_weights: int = 0  # ignored
+    use_sigma_weights: int = 0  # ignored
+
+    num_beams: int = 1500
+
+
+@dataclasses.dataclass(frozen=True)
+class GmappingConfig:
+    """Lesson4 gmapping grid mapper (gmapping.cc:28-60)."""
+
+    maxRange: float = 30.0  # gmapping.cc max_range_
+    maxUrange: float = 25.0  # max_use_range_, gmapping.cc:178
+    xmin: float = -40.0
+    ymin: float = -40.0
+    xmax: float = 40.0
+    ymax: float = 40.0
+    delta: float = 0.05  # resolution
+    occ_thresh: float = 0.25  # export threshold, gmapping.cc:147-157
+    num_beams: int = 1500
+    ray_steps: int = 2048  # static Bresenham step budget per beam
+
+
+@dataclasses.dataclass(frozen=True)
+class HectorConfig:
+    """Lesson4 hector SLAM (hector_slam.cc:119-160 param block)."""
+
+    map_resolution: float = 0.05  # hector_slam.cc:138
+    map_size: int = 1024  # ref default 2048; 1024 keeps tests/bench light
+    map_start_x: float = 0.5
+    map_start_y: float = 0.5
+    map_multi_res_levels: int = 3  # hector_slam.cc:142
+    update_factor_free: float = 0.4  # hector_slam.cc:147
+    update_factor_occupied: float = 0.9
+    map_update_distance_thresh: float = 0.4  # HectorSlamProcessor.h:101-107
+    map_update_angle_thresh: float = 0.9
+    laser_min_dist: float = 0.4
+    laser_max_dist: float = 30.0
+    # matcher internals (ScanMatcher.h:60-139, MapRepMultiMap.h:144-167)
+    iterations_finest: int = 5
+    iterations_coarse: int = 3
+    yaw_step_clamp: float = 0.2  # ScanMatcher.h:128-133
+    num_beams: int = 1500
+    ray_steps: int = 768  # static free-space step budget per beam
+
+
+@dataclasses.dataclass(frozen=True)
+class UndistortConfig:
+    """Lesson5 motion-distortion correction (lidar_undistortion.cc)."""
+
+    use_imu: bool = True
+    use_odom: bool = True
+    imu_queue_size: int = 256  # static ring-buffer capacity
+    odom_queue_size: int = 256
+    num_beams: int = 1500
+
+
+@dataclasses.dataclass(frozen=True)
+class KartoConfig:
+    """Lesson6 karto mapper params (mapper_params_outdoor.yaml + Mapper.cpp
+    defaults 1448-1964); names 1:1 with the YAML."""
+
+    # general
+    use_scan_matching: bool = True
+    use_scan_barycenter: bool = True
+    minimum_time_interval: float = 3600.0
+    minimum_travel_distance: float = 0.2
+    minimum_travel_heading: float = 0.174
+    scan_buffer_size: int = 70  # yaml outdoor: 110; default Mapper.cpp: 70
+    scan_buffer_maximum_scan_distance: float = 20.0  # yaml outdoor: 50
+    use_scan_range: float = 12.0  # karto_slam.cc:83 (range threshold)
+    link_match_minimum_response_fine: float = 0.6  # yaml outdoor: 0.1
+    link_scan_maximum_distance: float = 1.5
+
+    # correlation (sequential matcher)
+    correlation_search_space_dimension: float = 0.3
+    correlation_search_space_resolution: float = 0.01  # yaml outdoor: 0.05
+    correlation_search_space_smear_deviation: float = 0.03
+
+    # loop closure search
+    do_loop_closing: bool = True
+    loop_search_space_dimension: float = 8.0  # yaml outdoor: 15.0
+    loop_search_space_resolution: float = 0.05  # yaml outdoor: 0.1
+    loop_search_space_smear_deviation: float = 0.03  # yaml outdoor: 0.3
+    loop_search_maximum_distance: float = 4.0  # yaml outdoor: 15.0
+    loop_match_minimum_chain_size: int = 10  # yaml outdoor: 5
+    loop_match_maximum_variance_coarse: float = 0.4  # yaml outdoor: 3 (sqrt)
+    loop_match_minimum_response_coarse: float = 0.8  # yaml outdoor: 0.35
+    loop_match_minimum_response_fine: float = 0.8  # yaml outdoor: 0.45
+
+    # scan matcher shaping (Mapper.cpp:309-523)
+    distance_variance_penalty: float = 0.3  # squared internally
+    angle_variance_penalty: float = 0.349  # rad (yaml gives 0.1 "degrees")
+    fine_search_angle_offset: float = 0.00349
+    coarse_search_angle_offset: float = 0.349
+    coarse_angle_resolution: float = 0.0349
+    minimum_angle_penalty: float = 0.9
+    minimum_distance_penalty: float = 0.5
+    use_response_expansion: bool = True
+
+    # backend
+    use_back_end: bool = True
+    solver_type: str = "spa_solver"
+
+    # occupancy grid export (Karto.h:5953-5968)
+    min_pass_through: int = 2
+    occupancy_threshold: float = 0.1
+    resolution: float = 0.05
+
+    num_beams: int = 1500
+
+
+def outdoor_karto_config() -> KartoConfig:
+    """The lesson6 outdoor dataset tuning (mapper_params_outdoor.yaml)."""
+    return KartoConfig(
+        minimum_travel_distance=0.2,
+        minimum_travel_heading=0.174,
+        scan_buffer_size=110,
+        scan_buffer_maximum_scan_distance=50.0,
+        use_scan_range=50.0,
+        correlation_search_space_dimension=0.3,
+        correlation_search_space_resolution=0.05,
+        correlation_search_space_smear_deviation=0.03,
+        loop_search_space_dimension=15.0,
+        loop_search_space_resolution=0.1,
+        loop_search_space_smear_deviation=0.3,
+        link_match_minimum_response_fine=0.1,
+        link_scan_maximum_distance=1.5,
+        loop_search_maximum_distance=15.0,
+        loop_match_minimum_chain_size=5,
+        loop_match_maximum_variance_coarse=3.0,
+        loop_match_minimum_response_coarse=0.35,
+        loop_match_minimum_response_fine=0.45,
+        distance_variance_penalty=0.3,
+        angle_variance_penalty=0.1 * math.pi / 180.0,
+        fine_search_angle_offset=0.00349,
+        coarse_search_angle_offset=0.349,
+        coarse_angle_resolution=0.0349,
+        minimum_angle_penalty=0.9,
+        minimum_distance_penalty=0.5,
+        use_response_expansion=True,
+    )
