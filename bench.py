@@ -1,0 +1,101 @@
+"""Headline benchmark: batched Hector scan-matches/sec on one chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Baseline target: 10,000 scan-matches/sec (BASELINE.md north star — the
+reference publishes no numbers of its own).
+
+A "scan match" = one full coarse-to-fine pyramid match (3 levels,
+3+3+5 GN iterations, 512 beams each) against a live multi-resolution map,
+matching the reference's per-scan matching work in
+lesson4 hector_slam (MapRepMultiMap.h:144-167).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from tpuslam.core.config import HectorConfig
+    from tpuslam.core.scan import make_scan, scan_to_points
+    from tpuslam.io.simulate import rect_room, simulate_scan
+    from tpuslam.match.hector import match_pyramid
+    from tpuslam.models import hector_slam
+
+    cfg = HectorConfig(map_size=1024, num_beams=512, ray_steps=512)
+    specs = hector_slam.make_specs(cfg)
+
+    # Build a map from a handful of posed scans (same path the engine uses).
+    segs = rect_room(8.0, 6.0)
+    state = hector_slam.init_state(cfg)
+    for p in [np.zeros(3), np.array([0.3, 0.2, 0.2]), np.array([-0.3, -0.2, -0.2])]:
+        r, amin, ainc = simulate_scan(segs, p, num_beams=cfg.num_beams, max_range=20.0)
+        sc = make_scan(r, angle_min=amin, angle_increment=ainc,
+                       range_min=0.1, range_max=20.0, num_beams=cfg.num_beams)
+        state = state._replace(pose=jnp.asarray(p, jnp.float32))
+        state, _ = hector_slam.step(cfg, state, sc, map_without_matching=True)
+
+    from tpuslam.ops.bilinear import prob_from_log_odds
+
+    prob_grids = tuple(prob_from_log_odds(lo) for lo in state.log_odds)
+
+    # Batch of perturbed scans to match.
+    batch = 256
+    rng = np.random.default_rng(0)
+    true_poses = rng.uniform(-0.2, 0.2, size=(batch, 3)).astype(np.float32)
+    all_pts, all_valid, guesses = [], [], []
+    for tp in true_poses:
+        r, amin, ainc = simulate_scan(segs, tp, num_beams=cfg.num_beams, max_range=20.0)
+        sc = make_scan(r, angle_min=amin, angle_increment=ainc,
+                       range_min=0.1, range_max=20.0, num_beams=cfg.num_beams)
+        pts, valid = scan_to_points(sc)
+        all_pts.append(pts)
+        all_valid.append(valid)
+        guesses.append(tp + rng.uniform(-0.05, 0.05, 3).astype(np.float32))
+    pts = jnp.stack(all_pts)
+    valid = jnp.stack(all_valid)
+    guesses = jnp.asarray(np.stack(guesses))
+
+    @jax.jit
+    def match_batch(pts, valid, guesses):
+        def one(p, v, g):
+            return match_pyramid(
+                specs, prob_grids, p, v, g,
+                iterations_finest=cfg.iterations_finest,
+                iterations_coarse=cfg.iterations_coarse,
+            ).pose
+
+        return jax.vmap(one)(pts, valid, guesses)
+
+    # Warm-up / compile.
+    out = match_batch(pts, valid, guesses)
+    jax.block_until_ready(out)
+
+    # Sanity: matches must actually converge, or the number is meaningless.
+    err = np.abs(np.asarray(out) - true_poses)
+    assert err[:, :2].mean() < 0.05, err[:, :2].mean()
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = match_batch(pts, valid, guesses)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    mps = batch * iters / dt
+    print(json.dumps({
+        "metric": "hector_scan_matches_per_sec",
+        "value": round(mps, 1),
+        "unit": "matches/s",
+        "vs_baseline": round(mps / 10000.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

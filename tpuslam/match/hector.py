@@ -1,0 +1,158 @@
+"""Hector-style scan-to-map Gauss-Newton matcher + multi-resolution pyramid.
+
+Behavioral contract (reference: lesson4/.../matcher/ScanMatcher.h:60-139,
+slam_main/MapRepMultiMap.h:57-167):
+
+- One GN iteration accumulates, over all valid beams, the 3x3 normal system
+  ``H = sum J^T J`` and rhs ``dTr = sum J^T r`` with residual ``r = 1 - M(Pm)``
+  where ``M`` is the bilinearly-interpolated occupancy probability at the
+  transformed point ``Pm = R(theta) p + t`` (all in map-cell units), and
+  Jacobian row ``J = [Mx, My, (-sin·px - cos·py)·Mx + (cos·px - sin·py)·My]``
+  (OccGridMapUtil.h:77-132).
+- Step ``delta = H^-1 dTr`` with the yaw component clamped to ±0.2 rad
+  (ScanMatcher.h:117-137); singular H leaves the pose unchanged.
+- Coarse-to-fine: levels from coarsest to finest, 3 iterations per coarse
+  level and 5 at the finest; level i sees the scan scaled by 1/2^i
+  (MapRepMultiMap.h:144-167).  The returned "covariance" is the final
+  finest-level H, as in the reference (ScanMatcher.h:85-93).
+
+TPU-native shape: the per-beam loop is one vectorized gather+reduce; the GN
+iterations are a ``lax.scan``; whole scan batches go through ``vmap``.  All
+arithmetic is float32 (the 3x3 solve is tiny and well-conditioned after the
+epsilon guard).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from tpuslam.core.grid import GridSpec
+from tpuslam.ops.bilinear import interp_value_grad
+
+Array = jax.Array
+
+
+class MatchResult(NamedTuple):
+    pose: Array  # [..., 3] matched pose (same frame as the input pose)
+    hessian: Array  # [..., 3, 3] final GN normal matrix (reference "covariance")
+    score: Array  # [...] mean map value at matched points (diagnostic)
+
+
+def gn_system(
+    prob_grid: Array, pts: Array, valid: Array, pose_map: Array
+) -> tuple[Array, Array, Array]:
+    """Build (H, dTr, mean_value) for one GN iteration.
+
+    pts: [B, 2] scan points in map-cell units (sensor frame).
+    pose_map: [3] pose in map coords (x, y cells, theta rad).
+    """
+    c, s = jnp.cos(pose_map[2]), jnp.sin(pose_map[2])
+    px, py = pts[..., 0], pts[..., 1]
+    tx = c * px - s * py + pose_map[0]
+    ty = s * px + c * py + pose_map[1]
+    mpts = jnp.stack([tx, ty], axis=-1)
+
+    val, grad, inb = interp_value_grad(prob_grid, mpts, valid)
+    mx, my = grad[..., 0], grad[..., 1]
+    rot = (-s * px - c * py) * mx + (c * px - s * py) * my
+
+    r = jnp.where(inb, 1.0 - val, 0.0)
+    j = jnp.stack([mx, my, rot], axis=-1)  # [B, 3]
+
+    h = jnp.einsum("bi,bj->ij", j, j)
+    dtr = jnp.einsum("bi,b->i", j, r)
+    n = jnp.maximum(jnp.sum(valid), 1)
+    return h, dtr, jnp.sum(jnp.where(inb, val, 0.0)) / n
+
+
+def _solve3(h: Array, dtr: Array) -> tuple[Array, Array]:
+    """delta = H^-1 dTr via adjugate; returns (delta, ok)."""
+    a, b, c = h[0, 0], h[0, 1], h[0, 2]
+    d, e, f = h[1, 1], h[1, 2], h[2, 2]
+    det = a * (d * f - e * e) - b * (b * f - e * c) + c * (b * e - d * c)
+    ok = jnp.abs(det) > 1e-12
+    det_safe = jnp.where(ok, det, 1.0)
+    inv = (
+        jnp.stack(
+            [
+                d * f - e * e,
+                c * e - b * f,
+                b * e - c * d,
+                c * e - b * f,
+                a * f - c * c,
+                b * c - a * e,
+                b * e - c * d,
+                b * c - a * e,
+                a * d - b * b,
+            ]
+        ).reshape(3, 3)
+        / det_safe
+    )
+    delta = inv @ dtr
+    return jnp.where(ok, delta, jnp.zeros(3, h.dtype)), ok
+
+
+def match_level(
+    prob_grid: Array,
+    pts: Array,
+    valid: Array,
+    pose_map: Array,
+    *,
+    num_iters: int,
+    yaw_clamp: float = 0.2,
+) -> tuple[Array, Array, Array]:
+    """Fixed-count GN iterations against one pyramid level (map coords)."""
+
+    def body(pose, _):
+        h, dtr, score = gn_system(prob_grid, pts, valid, pose)
+        delta, ok = _solve3(h, dtr)
+        dth = jnp.clip(delta[2], -yaw_clamp, yaw_clamp)  # ScanMatcher.h:128-133
+        new_pose = pose + jnp.stack([delta[0], delta[1], dth])
+        new_pose = jnp.where(ok, new_pose, pose)
+        return new_pose, (h, score)
+
+    pose, (hs, scores) = jax.lax.scan(
+        body, pose_map, None, length=num_iters
+    )
+    return pose, hs[-1], scores[-1]
+
+
+def match_pyramid(
+    specs: Sequence[GridSpec],
+    prob_grids: Sequence[Array],
+    pts_base: Array,
+    valid: Array,
+    pose_world: Array,
+    *,
+    iterations_finest: int = 5,
+    iterations_coarse: int = 3,
+    yaw_clamp: float = 0.2,
+) -> MatchResult:
+    """Coarse-to-fine match; level 0 is finest (MapRepMultiMap.h:144-167).
+
+    pts_base: [B, 2] scan points in **meters** (sensor frame).
+    pose_world: [3] initial pose in world frame.
+    """
+    n_levels = len(specs)
+    pose = pose_world
+    hessian = jnp.eye(3, dtype=pose.dtype)
+    score = jnp.zeros((), dtype=pose.dtype)
+    for lvl in range(n_levels - 1, -1, -1):
+        spec = specs[lvl]
+        pts_map = pts_base / spec.resolution  # DataPointContainer.h:46-58 scale
+        pose_map = spec.world_pose_to_map(pose)
+        iters = iterations_finest if lvl == 0 else iterations_coarse
+        pose_map, hessian, score = match_level(
+            prob_grids[lvl],
+            pts_map,
+            valid,
+            pose_map,
+            num_iters=iters,
+            yaw_clamp=yaw_clamp,
+        )
+        pose = spec.map_pose_to_world(pose_map)
+    return MatchResult(pose=pose, hessian=hessian, score=score)
