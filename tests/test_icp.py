@@ -1,0 +1,109 @@
+"""ICP and PL-ICP matchers: recover known rigid transforms."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpuslam.core import se2
+from tpuslam.core.config import IcpConfig, PlicpConfig
+from tpuslam.core.scan import make_scan, scan_to_points
+from tpuslam.io.simulate import rect_room, simulate_scan, world_with_boxes
+from tpuslam.match.icp import icp, icp_batch, rigid_fit_2d
+from tpuslam.match.plicp import plicp
+
+SEGS = world_with_boxes()
+ICP_CFG = IcpConfig(num_beams=360, max_iterations=20)
+PL_CFG = PlicpConfig(num_beams=360)
+
+
+def scan_points(pose, num_beams=360, noise=0.0, seed=0):
+    r, amin, ainc = simulate_scan(
+        SEGS, pose, num_beams=num_beams, max_range=30.0, noise_std=noise,
+        rng=np.random.default_rng(seed),
+    )
+    sc = make_scan(r, angle_min=amin, angle_increment=ainc,
+                   range_min=0.1, range_max=30.0, num_beams=num_beams)
+    return scan_to_points(sc)
+
+
+def test_rigid_fit_exact():
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(rng.uniform(-3, 3, (50, 2)).astype(np.float32))
+    true = jnp.array([0.4, -0.2, 0.3])
+    dst = se2.transform_points(true, src)
+    got = rigid_fit_2d(src, dst, jnp.ones(50))
+    assert np.allclose(np.asarray(got), np.asarray(true), atol=1e-5)
+
+
+def test_icp_recovers_transform():
+    # scans from two nearby poses; icp(src=scan@a, dst=scan@b) should return
+    # the pose of frame a's points in frame b: b⁻¹ ∘ a
+    pa = np.array([0.0, 0.0, 0.0])
+    pb = np.array([0.08, -0.05, 0.06])
+    pts_a, va = scan_points(pa)
+    pts_b, vb = scan_points(pb)
+    res = icp(ICP_CFG, pts_a, va, pts_b, vb)
+    want = np.asarray(se2.relative(jnp.asarray(pb, jnp.float32),
+                                   jnp.asarray(pa, jnp.float32)))
+    got = np.asarray(res.pose)
+    assert bool(res.converged)
+    assert np.allclose(got, want, atol=0.02), (got, want)
+
+
+def test_plicp_recovers_transform_tighter():
+    pa = np.array([0.0, 0.0, 0.0])
+    pb = np.array([0.1, -0.06, 0.08])
+    pts_a, va = scan_points(pa, noise=0.005, seed=1)
+    pts_b, vb = scan_points(pb, noise=0.005, seed=2)
+    # match current (pose pb) against reference (pose pa):
+    res = plicp(PL_CFG, pts_b, vb, pts_a, va)
+    want = np.asarray(se2.relative(jnp.asarray(pa, jnp.float32),
+                                   jnp.asarray(pb, jnp.float32)))
+    got = np.asarray(res.pose)
+    assert bool(res.valid)
+    assert np.allclose(got, want, atol=0.02), (got, want)
+
+
+def test_plicp_invalid_when_out_of_trust_region():
+    pa = np.zeros(3)
+    pts_a, va = scan_points(pa)
+    # absurd initial guess: CSM's max_linear/angular_correction bound the
+    # search AROUND the guess — the result must stay inside that region
+    # (it cannot jump back to the true answer), and the residual betrays it
+    guess = jnp.array([5.0, 5.0, 2.0])
+    res = plicp(PL_CFG, pts_a, va, pts_a, va, guess)
+    d = np.asarray(res.pose) - np.asarray(guess)
+    assert abs(d[0]) <= PL_CFG.max_linear_correction + 1e-5
+    assert abs(d[1]) <= PL_CFG.max_linear_correction + 1e-5
+    assert float(res.mean_error) > 0.05  # detectably bad match
+
+
+def test_plicp_identity_on_identical_scans():
+    pts, v = scan_points(np.zeros(3))
+    res = plicp(PL_CFG, pts, v, pts, v)
+    assert bool(res.valid)
+    assert np.allclose(np.asarray(res.pose), 0.0, atol=1e-3)
+
+
+def test_icp_batch_vmap():
+    pa = np.zeros(3)
+    pts_a, va = scan_points(pa)
+    n = 4
+    rng = np.random.default_rng(7)
+    trues, srcs = [], []
+    for i in range(n):
+        pb = rng.uniform(-0.08, 0.08, 3)
+        pts_b, vb = scan_points(pb, seed=i + 10)
+        srcs.append(pts_b)
+        trues.append(np.asarray(se2.relative(jnp.zeros(3), jnp.asarray(pb, jnp.float32))))
+    src = jnp.stack(srcs)
+    res = icp_batch(
+        ICP_CFG,
+        src,
+        jnp.tile(va, (n, 1)),
+        jnp.tile(pts_a, (n, 1, 1)),
+        jnp.tile(va, (n, 1)),
+        jnp.zeros((n, 3)),
+    )
+    got = np.asarray(res.pose)
+    assert np.allclose(got, np.stack(trues), atol=0.03), (got, np.stack(trues))

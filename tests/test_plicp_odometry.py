@@ -1,0 +1,82 @@
+"""PL-ICP keyframe odometry over synthetic trajectories."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuslam.core.config import PlicpConfig
+from tpuslam.core.scan import make_scan
+from tpuslam.io.simulate import circle_trajectory, simulate_scan, world_with_boxes
+from tpuslam.models import plicp_odometry, scan_match_icp
+from tpuslam.core.config import IcpConfig
+
+SEGS = world_with_boxes()
+CFG = PlicpConfig(num_beams=360)
+
+
+def scan_at(pose, nb=360):
+    r, amin, ainc = simulate_scan(SEGS, pose, num_beams=nb, max_range=30.0)
+    return make_scan(r, angle_min=amin, angle_increment=ainc,
+                     range_min=0.1, range_max=30.0, num_beams=nb)
+
+
+def test_odometry_tracks_circle():
+    traj = circle_trajectory(radius=1.2, num_poses=100)[:50]
+    st = plicp_odometry.init_state(CFG)
+    # odometry starts at the first pose's frame: feed poses relative to start
+    import tpuslam.core.se2 as se2
+
+    t0 = jnp.asarray(traj[0], jnp.float32)
+    errs = []
+    for p in traj:
+        st, info = plicp_odometry.step(CFG, st, scan_at(p), dt=0.1)
+        rel_true = np.asarray(se2.relative(t0, jnp.asarray(p, jnp.float32)))
+        e = np.asarray(info.pose) - rel_true
+        e[2] = np.arctan2(np.sin(e[2]), np.cos(e[2]))
+        errs.append(np.abs(e))
+    errs = np.stack(errs)
+    ate = np.sqrt((errs[:, :2] ** 2).sum(1)).mean()
+    assert ate < 0.05, ate
+    assert errs[:, 2].max() < 0.06, errs[:, 2].max()
+
+
+def test_keyframe_machinery():
+    st = plicp_odometry.init_state(CFG)
+    sc = scan_at(np.zeros(3))
+    st, info = plicp_odometry.step(CFG, st, sc)
+    assert bool(info.new_keyframe)  # first scan keys
+    # static robot: no new keyframe until kf_scan_count exceeded
+    kf_count = 0
+    for i in range(CFG.kf_scan_count + 2):
+        st, info = plicp_odometry.step(CFG, st, sc)
+        kf_count += int(info.new_keyframe)
+    assert kf_count == 1  # exactly the count-triggered rekey
+    assert np.allclose(np.asarray(st.base_in_odom), 0.0, atol=5e-3)
+
+
+def test_run_trajectory_scan_fold():
+    traj = circle_trajectory(radius=1.2, num_poses=100)[:10]
+    scans = [scan_at(p) for p in traj]
+    batched = jax.tree.map(lambda *xs: jnp.stack(xs), *scans)
+    st = plicp_odometry.init_state(CFG)
+    final, poses = plicp_odometry.run_trajectory(
+        CFG, st, batched, jnp.full(10, 0.1)
+    )
+    assert poses.shape == (10, 3)
+    assert bool(final.initialized)
+
+
+def test_lesson2_frame_to_frame():
+    import tpuslam.core.se2 as se2
+
+    cfg = IcpConfig(num_beams=360, max_iterations=20)
+    st = scan_match_icp.init_state(cfg)
+    pa = np.zeros(3)
+    pb = np.array([0.06, -0.04, 0.05])
+    st, res0 = scan_match_icp.step(cfg, st, scan_at(pa))
+    assert not bool(res0.converged)  # first frame: no match yet
+    st, res1 = scan_match_icp.step(cfg, st, scan_at(pb))
+    assert bool(res1.converged)
+    # direction: last onto current = b⁻¹ ∘ a
+    want = np.asarray(se2.relative(jnp.asarray(pb, jnp.float32), jnp.zeros(3)))
+    assert np.allclose(np.asarray(res1.pose), want, atol=0.02)

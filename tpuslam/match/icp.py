@@ -1,0 +1,111 @@
+"""Point-to-point ICP between two scans (lesson2 parity).
+
+The reference wraps PCL's ``IterativeClosestPoint`` with default parameters
+(reference: lesson2/src/scan_match_icp.cc:135-164): nearest-neighbor
+correspondences (kd-tree there), SVD rigid transform, iterate.  TPU-native
+shape: the kd-tree becomes one dense [B, B] squared-distance matrix — a
+single MXU matmul — masked argmin for correspondences, closed-form 2D
+Umeyama alignment, fixed-count ``lax.scan`` iterations.  Batches of scan
+pairs go through ``vmap`` (the BASELINE "batched frame-to-frame ICP"
+workload).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpuslam.core import se2
+from tpuslam.core.config import IcpConfig
+
+Array = jax.Array
+
+BIG = 1e9
+
+
+class IcpResult(NamedTuple):
+    pose: Array  # [..., 3] transform source→target (x, y, theta)
+    converged: Array  # [...] bool — enough inliers on the final iteration
+    mean_error: Array  # [...] mean inlier correspondence distance
+
+
+def nearest_neighbors(
+    src: Array, src_valid: Array, dst: Array, dst_valid: Array
+) -> tuple[Array, Array]:
+    """Index of the nearest dst point per src point + squared distance.
+
+    One [B, B] distance matrix via |p|^2 + |q|^2 - 2 p.q (MXU matmul)."""
+    d2 = (
+        jnp.sum(src * src, axis=-1, keepdims=True)
+        + jnp.sum(dst * dst, axis=-1)[None, :]
+        - 2.0 * src @ dst.T
+    )
+    d2 = jnp.where(dst_valid[None, :], d2, BIG)
+    d2 = jnp.where(src_valid[:, None], d2, BIG)
+    idx = jnp.argmin(d2, axis=-1)
+    return idx, jnp.take_along_axis(d2, idx[:, None], axis=-1)[:, 0]
+
+
+def rigid_fit_2d(
+    src: Array, dst: Array, weights: Array
+) -> Array:
+    """Weighted 2D Umeyama: pose minimizing sum w |R src + t - dst|^2."""
+    wsum = jnp.maximum(jnp.sum(weights), 1e-9)
+    w = weights / wsum
+    mu_s = jnp.einsum("b,bi->i", w, src)
+    mu_d = jnp.einsum("b,bi->i", w, dst)
+    ps = src - mu_s
+    pd = dst - mu_d
+    # 2D rotation: theta = atan2(sum w (ps x pd), sum w (ps . pd))
+    cross = jnp.einsum("b,b->", w, ps[:, 0] * pd[:, 1] - ps[:, 1] * pd[:, 0])
+    dot = jnp.einsum("b,b->", w, ps[:, 0] * pd[:, 0] + ps[:, 1] * pd[:, 1])
+    theta = jnp.arctan2(cross, dot)
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    tx = mu_d[0] - (c * mu_s[0] - s * mu_s[1])
+    ty = mu_d[1] - (s * mu_s[0] + c * mu_s[1])
+    return jnp.stack([tx, ty, theta])
+
+
+def icp(
+    cfg: IcpConfig,
+    src: Array,
+    src_valid: Array,
+    dst: Array,
+    dst_valid: Array,
+    init_pose: Array | None = None,
+) -> IcpResult:
+    """Align src points onto dst points (both [B, 2] sensor-frame meters)."""
+    if init_pose is None:
+        init_pose = jnp.zeros(3, dtype=src.dtype)
+    max_d2 = cfg.max_correspondence_dist**2
+
+    def body(pose, _):
+        cur = se2.transform_points(pose, src)
+        idx, d2 = nearest_neighbors(cur, src_valid, dst, dst_valid)
+        w = (src_valid & (d2 < max_d2)).astype(src.dtype)
+        matched = jnp.take(dst, idx, axis=0)
+        delta = rigid_fit_2d(cur, matched, w)
+        new_pose = se2.compose(delta, pose)
+        n_in = jnp.sum(w)
+        err = jnp.sum(jnp.sqrt(jnp.maximum(d2, 0.0)) * w) / jnp.maximum(n_in, 1.0)
+        return new_pose, (n_in, err)
+
+    pose, (n_in, errs) = jax.lax.scan(body, init_pose, None, length=cfg.max_iterations)
+    converged = n_in[-1] >= 10  # PCL's hasConverged ~ enough correspondences
+    return IcpResult(pose=pose, converged=converged, mean_error=errs[-1])
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def icp_batch(
+    cfg: IcpConfig,
+    src: Array,
+    src_valid: Array,
+    dst: Array,
+    dst_valid: Array,
+    init_poses: Array,
+) -> IcpResult:
+    """vmapped ICP over a batch of scan pairs [N, B, 2]."""
+    return jax.vmap(partial(icp, cfg))(src, src_valid, dst, dst_valid, init_poses)
