@@ -1,0 +1,121 @@
+"""Karto engine: gating, odometry correction, loop closure, map export."""
+
+import math
+
+import numpy as np
+
+from tpuslam.core.config import KartoConfig
+from tpuslam.core.scan import make_scan
+from tpuslam.io.simulate import simulate_scan, world_with_boxes
+from tpuslam.models.karto import KartoMapper, _np_compose, _np_relative
+
+SEGS = world_with_boxes()
+
+CFG = KartoConfig(
+    num_beams=180,
+    use_scan_range=6.0,
+    minimum_travel_distance=0.2,
+    minimum_travel_heading=0.174,
+    minimum_time_interval=3600.0,
+    scan_buffer_size=20,
+    scan_buffer_maximum_scan_distance=10.0,
+    correlation_search_space_dimension=0.32,
+    correlation_search_space_resolution=0.02,
+    correlation_search_space_smear_deviation=0.04,
+    loop_search_space_dimension=4.0,
+    loop_search_space_resolution=0.1,
+    loop_search_space_smear_deviation=0.1,
+    loop_search_maximum_distance=1.5,
+    loop_match_minimum_chain_size=4,
+    loop_match_maximum_variance_coarse=0.4,
+    loop_match_minimum_response_coarse=0.5,
+    loop_match_minimum_response_fine=0.5,
+    link_match_minimum_response_fine=0.6,
+    link_scan_maximum_distance=1.5,
+)
+
+
+def scan_at(pose, nb=180):
+    r, amin, ainc = simulate_scan(SEGS, pose, num_beams=nb, max_range=30.0)
+    return make_scan(r, angle_min=amin, angle_increment=ainc,
+                     range_min=0.1, range_max=30.0, num_beams=nb)
+
+
+def test_has_moved_enough_gating():
+    m = KartoMapper(CFG, max_scans=16)
+    r0 = m.process(scan_at(np.zeros(3)), np.zeros(3), time=0.0)
+    assert r0.processed
+    # tiny motion: gated out
+    r1 = m.process(scan_at([0.05, 0, 0]), np.array([0.05, 0, 0]), time=1.0)
+    assert not r1.processed
+    # enough travel
+    r2 = m.process(scan_at([0.25, 0, 0]), np.array([0.25, 0, 0]), time=2.0)
+    assert r2.processed
+    # enough heading
+    r3 = m.process(scan_at([0.25, 0, 0.2]), np.array([0.25, 0, 0.2]), time=3.0)
+    assert r3.processed
+    assert len(m.records) == 3
+    assert len(m.edges) >= 2  # consecutive odometry links
+
+
+def test_matching_corrects_odometry_noise():
+    rng = np.random.default_rng(4)
+    m = KartoMapper(CFG, max_scans=32)
+    true = np.zeros(3)
+    odom = np.zeros(3)
+    errs = []
+    for i in range(10):
+        res = m.process(scan_at(true), odom, time=0.0)
+        if res.processed:
+            e = res.pose - true
+            errs.append(np.hypot(e[0], e[1]))
+        step = np.array([0.25, 0.0, 0.1])
+        true = _np_compose(true, step)
+        odom = _np_compose(odom, step + rng.normal(0, [0.02, 0.02, 0.01]))
+    # corrected poses stay near truth despite odometry drift
+    assert np.mean(errs[1:]) < 0.08, errs
+    odom_err = np.hypot(*(odom - true)[:2])
+    assert np.mean(errs[-3:]) < max(odom_err, 0.1)
+
+
+def test_loop_closure_fires_and_reduces_drift():
+    rng = np.random.default_rng(7)
+    m = KartoMapper(CFG, max_scans=64)
+    radius = 1.6
+    n_steps = 46  # ~1.1 loops around the circle
+    closed_any = False
+    true_list, est_list = [], []
+    true = np.array([radius, 0.0, math.pi / 2])
+    odom = true.copy()
+    for i in range(n_steps):
+        res = m.process(scan_at(true), odom, time=0.0)
+        if res.processed:
+            true_list.append(true.copy())
+            est_list.append(res.pose.copy())
+            closed_any |= res.loop_closed
+        dth = 2 * math.pi / 40
+        step = np.array([radius * dth, 0.0, dth])
+        true = _np_compose(true, step)
+        odom = _np_compose(odom, step + rng.normal(0, [0.01, 0.01, 0.005]))
+    assert closed_any, "no loop closure fired on a closed circle"
+    # after closure the stored poses should be globally consistent
+    n = len(m.records)
+    true_arr = np.stack(true_list)[:n]
+    ate = np.sqrt(((m.poses[:n, :2] - true_arr[:, :2]) ** 2).sum(1)).mean()
+    assert ate < 0.15, ate
+
+
+def test_occupancy_grid_export():
+    # min_pass_through=2 requires cells seen by >2 beams — feed enough scans
+    m = KartoMapper(CFG, max_scans=16)
+    for i in range(6):
+        p = np.array([0.25 * i, 0.0, 0.0])
+        m.process(scan_at(p), p, time=float(i))
+    spec, img = m.occupancy_grid()
+    img = np.asarray(img)
+    assert (img == 100).sum() > 20  # walls
+    assert (img == 0).sum() > 100  # free interior
+    # wall at x=+6 within range 6? out of range → use box at (2.0, 1.5)
+    mx = round((2.0 - 0.7 - spec.origin_x) / spec.resolution)
+    my = round((1.5 - spec.origin_y) / spec.resolution)
+    assert (img[my - 2 : my + 3, mx - 2 : mx + 3] == 100).any()

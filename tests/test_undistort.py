@@ -1,0 +1,87 @@
+"""Motion-distortion correction: a spinning/translating robot scanning a wall
+must reconstruct the wall straight after correction."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpuslam.core.config import UndistortConfig
+from tpuslam.core.scan import make_scan
+from tpuslam.io.simulate import cast_rays, rect_room
+from tpuslam.models.undistort import ImuBuffer, make_imu_buffer, undistort
+
+CFG = UndistortConfig()
+
+
+def distorted_scan(omega, vel, n=180, period=0.1):
+    """Simulate a scan taken while rotating at omega rad/s and translating at
+    vel m/s: each beam is cast from the robot's pose at that beam's time."""
+    segs = rect_room(8.0, 6.0)
+    angle_min, fov = -np.pi / 2, np.pi
+    inc = fov / (n - 1)
+    tinc = period / n
+    ranges = np.zeros(n)
+    for i in range(n):
+        t = i * tinc
+        yaw = omega * t
+        pos = np.asarray(vel) * t
+        beam_world = yaw + angle_min + i * inc
+        r = cast_rays(segs, pos, np.array([beam_world]), max_range=30.0)
+        ranges[i] = r[0]
+    sc = make_scan(ranges, angle_min=angle_min, angle_increment=inc,
+                   range_min=0.1, range_max=30.0, time_increment=tinc)
+    return sc, period
+
+
+def wall_x_spread(pts, valid):
+    """Spread of x among points reconstructing the x=+4 wall."""
+    p = np.asarray(pts)[np.asarray(valid)]
+    wall = p[(p[:, 0] > 3.0) & (np.abs(p[:, 1]) < 2.0)]
+    assert len(wall) > 10
+    return wall[:, 0].std(), wall[:, 0].mean()
+
+
+def test_rotation_correction():
+    omega = 2.0  # rad/s — 0.2 rad of distortion over the scan
+    sc, period = distorted_scan(omega, [0.0, 0.0])
+    # raw points are visibly bent
+    from tpuslam.core.scan import scan_to_points
+
+    raw_pts, valid = scan_to_points(sc)
+    raw_std, _ = wall_x_spread(raw_pts, valid)
+
+    imu = make_imu_buffer(np.linspace(0, period, 21), np.full(21, omega), 64)
+    pts, v = undistort(CFG, sc, imu, jnp.zeros(3), 0.0, period)
+    fixed_std, mean_x = wall_x_spread(pts, v)
+    assert fixed_std < raw_std / 3.0, (raw_std, fixed_std)
+    assert abs(mean_x - 4.0) < 0.05
+
+
+def test_translation_correction():
+    vel = [1.5, 0.0]  # m/s toward the wall
+    sc, period = distorted_scan(0.0, vel)
+    imu = make_imu_buffer(np.linspace(0, period, 21), np.zeros(21), 64)
+    odom_rel = jnp.array([vel[0] * period, vel[1] * period, 0.0])
+    pts, v = undistort(CFG, sc, imu, odom_rel, 0.0, period)
+    _, mean_x = wall_x_spread(pts, v)
+    # corrected points are in the beam-0 frame: wall should sit at 4.0
+    assert abs(mean_x - 4.0) < 0.03
+
+
+def test_no_motion_is_identity():
+    sc, period = distorted_scan(0.0, [0.0, 0.0])
+    from tpuslam.core.scan import scan_to_points
+
+    raw_pts, valid = scan_to_points(sc)
+    imu = make_imu_buffer(np.linspace(0, period, 5), np.zeros(5), 64)
+    pts, v = undistort(CFG, sc, imu, jnp.zeros(3), 0.0, period)
+    assert np.allclose(np.asarray(pts), np.asarray(raw_pts), atol=1e-5)
+
+
+def test_combined_motion():
+    omega, vel = 1.5, [1.0, 0.3]
+    sc, period = distorted_scan(omega, vel)
+    imu = make_imu_buffer(np.linspace(0, period, 51), np.full(51, omega), 64)
+    odom_rel = jnp.array([vel[0] * period, vel[1] * period, omega * period])
+    pts, v = undistort(CFG, sc, imu, odom_rel, 0.0, period)
+    std, mean_x = wall_x_spread(pts, v)
+    assert std < 0.02 and abs(mean_x - 4.0) < 0.05

@@ -1,0 +1,423 @@
+"""Karto-style correlative scan matcher (lesson6's hottest loop).
+
+Behavioral contract (reference: lesson6/lib/open_karto/src/Mapper.cpp:119-856
+ScanMatcher + Karto.h:6233-6555 GridIndexLookup + Mapper.h:971-1101
+CorrelationGrid):
+
+- correlation grid side = round(search_dim/res)+1 + 2*ceil(range_threshold/res)
+  cells (odd), centered on the search pose (Mapper.cpp:147-160, 219-228),
+- base scans stamp occupied cells (value 100/100) with a Gaussian max-combine
+  smear of half-size round(2*sigma/res) and values round(exp(-d^2/2sigma^2)*100)
+  (Mapper.h:1032-1101); stamping applies a viewpoint visibility filter
+  (FindValidPoints, Mapper.cpp:758-817),
+- per-angle lookup offsets: the scan's sensor-frame points rotated by each
+  ABSOLUTE candidate angle and quantized to whole cells (Karto.h:6409-6501) —
+  position candidates then shift by whole cells, so one quantization serves
+  the whole (y, x) lattice,
+- response(y, x, a) = mean of grid values at the offset cells
+  (GetResponse, Mapper.cpp:819-856); off-grid points contribute 0 but stay
+  in the denominator,
+- optional distance/angle penalties ``max(min_penalty, 1 - 0.2 d^2/var)``
+  (Mapper.cpp:399-414),
+- best poses averaged over all response ties, circular mean for heading
+  (Mapper.cpp:455-487),
+- two-pass: coarse at 2x resolution over the full window, then fine at 1x
+  over ±(coarse res)/2 and ±(coarse angle res)/2 (MatchScan 219-291); if the
+  coarse response is exactly 0 and response expansion is on, the angle window
+  retries at +20/40/60 deg (242-272),
+- positional covariance from response-weighted second moments over the
+  best-response-per-cell search-space grid (535-639); angular covariance from
+  the angle responses at the best cell (641-692).
+
+TPU-native shape: the triple loop is one vectorized gather
+``grid_flat[cand_cell + offset(a, p)]`` reduced over points — no lookup
+tables, no sequential search.  Everything static-shaped from the config.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuslam.core import se2
+
+Array = jax.Array
+
+MAX_VARIANCE = 500.0  # Mapper.cpp MAX_VARIANCE
+DISTANCE_PENALTY_GAIN = 0.2
+ANGLE_PENALTY_GAIN = 0.2
+
+
+@dataclasses.dataclass(frozen=True)
+class CorrelativeSpec:
+    """Static geometry of one correlative matcher (sequential or loop)."""
+
+    resolution: float
+    search_dim: float  # search_space_dimension (meters)
+    smear_deviation: float
+    range_threshold: float
+    coarse_angle_offset: float = 0.349
+    coarse_angle_resolution: float = 0.0349
+    fine_angle_offset: float = 0.00349
+    distance_variance_penalty: float = 0.3
+    angle_variance_penalty: float = 0.349
+    minimum_distance_penalty: float = 0.5
+    minimum_angle_penalty: float = 0.9
+    use_response_expansion: bool = True
+
+    # ---- derived static sizes (Mapper.cpp:147-160) ----
+    @property
+    def search_side(self) -> int:
+        return int(round(self.search_dim / self.resolution)) + 1
+
+    @property
+    def margin(self) -> int:
+        return int(math.ceil(self.range_threshold / self.resolution))
+
+    @property
+    def grid_size(self) -> int:
+        return self.search_side + 2 * self.margin
+
+    @property
+    def half_kernel(self) -> int:
+        return int(round(2.0 * self.smear_deviation / self.resolution))
+
+    def _axis(self, offset: float, step: float) -> np.ndarray:
+        n = int(round(offset * 2.0 / step)) + 1
+        return -offset + step * np.arange(n)
+
+    def coarse_xy(self) -> np.ndarray:
+        off = 0.5 * (self.search_side - 1) * self.resolution
+        return self._axis(off, 2.0 * self.resolution)
+
+    def fine_xy(self) -> np.ndarray:
+        return self._axis(self.resolution, self.resolution)
+
+    def coarse_angles(self, extra: float = 0.0) -> np.ndarray:
+        return self._axis(
+            self.coarse_angle_offset + extra, self.coarse_angle_resolution
+        )
+
+    def fine_angles(self) -> np.ndarray:
+        # the reference swaps the roles in the fine call (Mapper.cpp:274-282):
+        # offset = coarse_angle_resolution/2, step = fine_search_angle_offset
+        return self._axis(
+            0.5 * self.coarse_angle_resolution, self.fine_angle_offset
+        )
+
+
+class CorrelativeResult(NamedTuple):
+    pose: Array  # [3] best (averaged) pose
+    response: Array  # [] best response in [0, 1]
+    covariance: Array  # [3, 3]
+
+
+def find_valid_points(pts: Array, valid: Array, viewpoint: Array) -> Array:
+    """Viewpoint visibility filter (Mapper.cpp:758-817).
+
+    A point is kept iff the next 'decision point' at >= 0.1 m from the
+    rolling anchor sees the surface from the correct side (counterclockwise
+    winding w.r.t. the viewpoint).  Exact port of the trailing-iterator
+    semantics as two lax.scans.  pts: [B, 2] world points."""
+    min_sq = 0.01
+
+    first0 = pts[0]  # reference seeds with the first finite point
+
+    def fwd(carry, inp):
+        first = carry
+        p, v = inp
+        delta = first - p
+        decide = (jnp.sum(delta * delta) > min_sq) & v
+        a = viewpoint[1] - first[1]
+        b = first[0] - viewpoint[0]
+        c = first[1] * viewpoint[0] - first[0] * viewpoint[1]
+        ss = p[0] * a + p[1] * b + c
+        keep = ss >= 0.0
+        new_first = jnp.where(decide, p, first)
+        return new_first, (decide, keep)
+
+    _, (decide, keep_at_decision) = jax.lax.scan(fwd, first0, (pts, valid))
+
+    # point i is emitted by the first decision strictly AFTER i
+    def bwd(carry, inp):
+        nxt_keep = carry
+        d, k = inp
+        out = nxt_keep  # the decision after me decides my fate
+        new = jnp.where(d, k, nxt_keep)
+        return new, out
+
+    _, kept = jax.lax.scan(
+        bwd, jnp.zeros((), bool), (decide, keep_at_decision), reverse=True
+    )
+    return kept & valid
+
+
+def _smear_kernel(spec: CorrelativeSpec) -> np.ndarray:
+    """Quantized Gaussian (Mapper.h:1058-1090): round(exp(-d^2/2s^2)*100)/100."""
+    h = spec.half_kernel
+    ii, jj = np.mgrid[-h : h + 1, -h : h + 1]
+    d = np.hypot(ii * spec.resolution, jj * spec.resolution)
+    z = np.exp(-0.5 * (d / spec.smear_deviation) ** 2)
+    return np.round(z * 100.0) / 100.0
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def build_correlation_grid(
+    spec: CorrelativeSpec,
+    center_xy: Array,
+    base_pts: Array,  # [S, B, 2] world points of base scans (or [B, 2])
+    base_valid: Array,
+) -> Array:
+    """Stamp + smear base scan points into the [G, G] correlation grid.
+
+    Grid cell (0,0) sits at ``center - 0.5*(G-1)*res`` (Mapper.cpp:219-228).
+    Returns float grid in [0, 1] (the byte grid / 100)."""
+    g = spec.grid_size
+    res = spec.resolution
+    origin = center_xy - 0.5 * (g - 1) * res
+
+    pts = base_pts.reshape(-1, 2)
+    valid = base_valid.reshape(-1)
+    cells = jnp.floor((pts - origin) / res + 0.5).astype(jnp.int32)
+    ix, iy = cells[:, 0], cells[:, 1]
+    inb = (ix >= 0) & (ix < g) & (iy >= 0) & (iy < g) & valid
+    flat = jnp.where(inb, iy * g + ix, g * g)
+
+    occ = (
+        jnp.zeros((g * g,), jnp.float32)
+        .at[flat]
+        .max(1.0, mode="drop")
+        .reshape(g, g)
+    )
+
+    kernel = _smear_kernel(spec)
+    h = spec.half_kernel
+    if h == 0:
+        return occ
+    pad = jnp.pad(occ, h)
+    out = occ
+    for di in range(-h, h + 1):
+        for dj in range(-h, h + 1):
+            kv = float(kernel[di + h, dj + h])
+            if kv <= 0.0:
+                continue
+            shifted = jax.lax.dynamic_slice(pad, (h + di, h + dj), (g, g))
+            out = jnp.maximum(out, shifted * kv)
+    return out
+
+
+def _correlate(
+    spec: CorrelativeSpec,
+    grid: Array,  # [G, G]
+    grid_center: Array,  # [2] xy the grid was STAMPED around (fixed per match)
+    center_pose: Array,  # [3] search center (fine pass recenters on the coarse mean)
+    local_pts: Array,  # [B, 2] scan points in the SENSOR frame
+    valid: Array,  # [B]
+    xy_offsets: np.ndarray,  # static candidate offsets (meters)
+    angle_offsets: np.ndarray,  # static candidate angle offsets (rad)
+    penalize: bool,
+):
+    """Dense response tensor [nY, nX, nA] + tie-averaged best pose."""
+    g = spec.grid_size
+    res = spec.resolution
+    origin = grid_center - 0.5 * (g - 1) * res
+
+    angs = center_pose[2] + jnp.asarray(angle_offsets, jnp.float32)  # [nA]
+    c, s = jnp.cos(angs), jnp.sin(angs)
+    px, py = local_pts[:, 0], local_pts[:, 1]
+    rx = c[:, None] * px[None, :] - s[:, None] * py[None, :]  # [nA, B]
+    ry = s[:, None] * px[None, :] + c[:, None] * py[None, :]
+    # whole-cell offsets, shared by every (y, x) candidate (Karto.h:6473-6495)
+    ox = jnp.floor(rx / res + 0.5).astype(jnp.int32)
+    oy = jnp.floor(ry / res + 0.5).astype(jnp.int32)
+
+    xs = jnp.asarray(xy_offsets, jnp.float32)
+    cand_x = jnp.floor((center_pose[0] + xs - origin[0]) / res + 0.5).astype(
+        jnp.int32
+    )  # [nX]
+    cand_y = jnp.floor((center_pose[1] + xs - origin[1]) / res + 0.5).astype(
+        jnp.int32
+    )  # [nY] (same offsets both axes, as in the reference)
+
+    # response per angle, serialized over the angle axis so the intermediate
+    # stays [nY, nX, B] (the loop matcher's lattice would not fit otherwise)
+    denom = jnp.maximum(jnp.sum(valid), 1).astype(jnp.float32)
+    gflat = grid.reshape(-1)
+
+    def one_angle(off):
+        ox_a, oy_a = off  # [B]
+        cx = cand_x[None, :, None] + ox_a[None, None, :]  # [nY, nX, B]
+        cy = cand_y[:, None, None] + oy_a[None, None, :]
+        inb = (cx >= 0) & (cx < g) & (cy >= 0) & (cy < g) & valid[None, None, :]
+        flat = jnp.where(inb, cy * g + cx, 0)
+        vals = jnp.where(inb, jnp.take(gflat, flat), 0.0)
+        return jnp.sum(vals, axis=-1) / denom  # [nY, nX]
+
+    resp = jax.lax.map(one_angle, (ox, oy))  # [nA, nY, nX]
+    resp = jnp.moveaxis(resp, 0, -1)  # [nY, nX, nA]
+
+    if penalize:
+        d2 = (xs[:, None] ** 2 + xs[None, :] ** 2)[..., None]  # [nY, nX, 1]
+        dist_pen = jnp.maximum(
+            1.0 - DISTANCE_PENALTY_GAIN * d2 / spec.distance_variance_penalty,
+            spec.minimum_distance_penalty,
+        )
+        a2 = jnp.asarray(angle_offsets, jnp.float32) ** 2
+        ang_pen = jnp.maximum(
+            1.0 - ANGLE_PENALTY_GAIN * a2 / spec.angle_variance_penalty,
+            spec.minimum_angle_penalty,
+        )[None, None, :]
+        resp = jnp.where(resp > 0.0, resp * dist_pen * ang_pen, resp)
+
+    best = jnp.max(resp)
+    tie = jnp.abs(resp - best) < 1e-9  # DoubleEqual tie set
+    nt = jnp.maximum(jnp.sum(tie), 1).astype(jnp.float32)
+    gx = jnp.sum(tie * (center_pose[0] + xs[None, :, None])) / nt
+    gy = jnp.sum(tie * (center_pose[1] + xs[:, None, None])) / nt
+    th_x = jnp.sum(tie * jnp.cos(angs)[None, None, :]) / nt
+    th_y = jnp.sum(tie * jnp.sin(angs)[None, None, :]) / nt
+    mean = jnp.stack([gx, gy, jnp.arctan2(th_y, th_x)])
+    return resp, best, mean
+
+
+def _positional_covariance(
+    spec: CorrelativeSpec,
+    resp: Array,  # [nY, nX, nA] coarse responses
+    best: Array,
+    mean: Array,
+    center_pose: Array,
+    xy_offsets: np.ndarray,
+) -> Array:
+    """Mapper.cpp:535-639 over the best-per-cell search space probs."""
+    sp = jnp.max(resp, axis=-1)  # [nY, nX] search-space probabilities
+    xs = jnp.asarray(xy_offsets, jnp.float32)
+    dx = mean[0] - center_pose[0]
+    dy = mean[1] - center_pose[1]
+    w = jnp.where(sp >= best - 0.1, sp, 0.0)
+    norm = jnp.sum(w)
+    xrel = xs[None, :] - dx
+    yrel = xs[:, None] - dy
+    vxx = jnp.sum(xrel * xrel * w)
+    vxy = jnp.sum(xrel * yrel * w)
+    vyy = jnp.sum(yrel * yrel * w)
+
+    res_c = 2.0 * spec.resolution  # coarse search resolution
+    ok = (norm > 1e-6) & (best >= 1e-6)
+    norm_s = jnp.maximum(norm, 1e-9)
+    mult = 1.0 / jnp.maximum(best, 1e-9)
+    vxx = jnp.maximum(vxx / norm_s, 0.1 * res_c**2) * mult
+    vyy = jnp.maximum(vyy / norm_s, 0.1 * res_c**2) * mult
+    vxy = vxy / norm_s * mult
+
+    vxx = jnp.where(ok & (vxx > 0), vxx, MAX_VARIANCE)
+    vyy = jnp.where(ok & (vyy > 0), vyy, MAX_VARIANCE)
+    vxy = jnp.where(ok, vxy, 0.0)
+    cov = jnp.eye(3, dtype=jnp.float32)
+    cov = cov.at[0, 0].set(vxx).at[0, 1].set(vxy)
+    cov = cov.at[1, 0].set(vxy).at[1, 1].set(vyy)
+    cov = cov.at[2, 2].set(4.0 * spec.coarse_angle_resolution**2)
+    return cov
+
+
+def _angular_covariance(
+    spec: CorrelativeSpec,
+    grid: Array,
+    grid_center: Array,
+    center_pose: Array,
+    local_pts: Array,
+    valid: Array,
+    mean: Array,
+    best: Array,
+    angle_offsets: np.ndarray,
+) -> Array:
+    """Mapper.cpp:641-692: angle response sweep at the best position."""
+    resp, _, _ = _correlate(
+        spec,
+        grid,
+        grid_center,
+        # sweep angles around the SEARCH CENTER heading at the best position
+        jnp.stack([mean[0], mean[1], center_pose[2]]),
+        local_pts,
+        valid,
+        np.zeros(1),
+        angle_offsets,
+        penalize=False,
+    )
+    r = resp[0, 0, :]  # [nA]
+    angs = jnp.asarray(angle_offsets, jnp.float32)
+    best_angle = se2.wrap_angle(mean[2] - center_pose[2])
+    w = jnp.where(r >= best - 0.1, r, 0.0)
+    norm = jnp.sum(w)
+    acc = jnp.sum((angs - best_angle) ** 2 * w)
+    var = jnp.where(
+        norm > 1e-6,
+        jnp.where(acc < 1e-6, spec.coarse_angle_resolution**2, acc)
+        / jnp.maximum(norm, 1e-9),
+        1000.0 * spec.coarse_angle_resolution**2,
+    )
+    return var
+
+
+@partial(jax.jit, static_argnames=("spec", "penalize", "refine"))
+def match_scan(
+    spec: CorrelativeSpec,
+    center_pose: Array,  # [3] search center = current pose estimate
+    local_pts: Array,  # [B, 2] matching scan, sensor frame
+    valid: Array,
+    base_pts: Array,  # [S, B, 2] base scan points, WORLD frame
+    base_valid: Array,
+    *,
+    penalize: bool = True,
+    refine: bool = True,
+) -> CorrelativeResult:
+    """Full MatchScan: stamp grid, coarse search (+expansion), fine refine."""
+    vp_valid = jax.vmap(lambda p, v: find_valid_points(p, v, center_pose[:2]))(
+        base_pts.reshape(-1, base_pts.shape[-2], 2),
+        base_valid.reshape(-1, base_valid.shape[-1]),
+    )
+    grid = build_correlation_grid(
+        spec, center_pose[:2], base_pts, vp_valid.reshape(base_valid.shape)
+    )
+
+    grid_center = center_pose[:2]
+    cxy = spec.coarse_xy()
+    resp, best, mean = _correlate(
+        spec, grid, grid_center, center_pose, local_pts, valid, cxy,
+        spec.coarse_angles(), penalize
+    )
+    cov_pos = _positional_covariance(spec, resp, best, mean, center_pose, cxy)
+
+    if spec.use_response_expansion:
+        # retry ±20/40/60 deg wider angle windows while response == 0
+        for extra in (math.radians(20), math.radians(40), math.radians(60)):
+            angs = spec.coarse_angles(extra)
+            resp_e, best_e, mean_e = _correlate(
+                spec, grid, grid_center, center_pose, local_pts, valid, cxy,
+                angs, penalize
+            )
+            cov_e = _positional_covariance(
+                spec, resp_e, best_e, mean_e, center_pose, cxy
+            )
+            use = best == 0.0
+            best = jnp.where(use, best_e, best)
+            mean = jnp.where(use, mean_e, mean)
+            cov_pos = jnp.where(use, cov_e, cov_pos)
+
+    if refine:
+        fxy = spec.fine_xy()
+        fang = spec.fine_angles()
+        _, best_f, mean_f = _correlate(
+            spec, grid, grid_center, mean, local_pts, valid, fxy, fang, penalize
+        )
+        var_th = _angular_covariance(
+            spec, grid, grid_center, mean, local_pts, valid, mean_f, best_f, fang
+        )
+        cov = cov_pos.at[2, 2].set(var_th)
+        return CorrelativeResult(pose=mean_f, response=best_f, covariance=cov)
+    return CorrelativeResult(pose=mean, response=best, covariance=cov_pos)

@@ -1,0 +1,550 @@
+"""Karto SLAM engine: correlative frontend + pose graph + loop closure.
+
+The TPU-native rebuild of lesson6 (reference: lesson6/src/karto_slam.cc +
+lesson6/lib/open_karto/src/Mapper.cpp).  Architecture split:
+
+- **device**: the hot kernels — correlative matching (match/correlative.py)
+  and pose-graph optimization (graph/solver.py) — run jitted on TPU with
+  static shapes (scan chains padded to fixed capacities),
+- **host**: the graph bookkeeping the reference does in MapperGraph —
+  running-scan window maintenance, near-chain BFS, loop-closure candidate
+  chains — stays in Python over small arrays (SURVEY §7: it is not hot).
+
+Behavioral contract, step by step (Mapper::Process, Mapper.cpp:1999-2079):
+
+1. carry last correction: ``corrected = last_corrected ∘ last_odom⁻¹ ∘ odom``
+   (2021-2025),
+2. gate on HasMovedEnough: time >= minimum_time_interval OR |Δheading| >=
+   minimum_travel_heading OR travel >= minimum_travel_distance (2087-2120),
+3. match against the running-scan window, set the corrected pose (2037-2045),
+4. add vertex + three kinds of edges (MapperGraph::AddEdges, 902-973):
+   previous-scan link, running-chain link (closest scan), near-chain links
+   (BFS within link_scan_maximum_distance, chains grown along state ids,
+   1124-1275) — multiple match means fused by covariance-weighted mean with
+   circular heading mean (1288-1330),
+5. maintain the running window (cap by count <= scan_buffer_size and span <=
+   scan_buffer_maximum_scan_distance, Mapper.h:1356-1385),
+6. loop closure (TryCloseLoop, 976-1051): candidate chains of consecutive old
+   scans within loop_search_maximum_distance that are NOT near-linked, length
+   >= loop_match_minimum_chain_size (1333-1394); coarse loop-grid match must
+   pass response >= loop_match_minimum_response_coarse and xx/yy variance <
+   loop_match_maximum_variance_coarse, then a fine sequential-grid match >=
+   loop_match_minimum_response_fine; on accept LinkChainToScan +
+   CorrectPoses() → solver → corrected poses written back (1397-1414).
+
+Scan sensor pose == scan base pose here (the base↔laser extrinsic is applied
+by the caller, as in karto_slam.cc:436-440 where the node pre-composes TF).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuslam.core import se2
+from tpuslam.core.config import KartoConfig
+from tpuslam.core.scan import Scan, scan_to_points
+from tpuslam.graph.solver import PoseGraph, empty_graph, optimize
+from tpuslam.match.correlative import CorrelativeSpec, match_scan
+
+
+def _np_compose(a, b):
+    c, s = math.cos(a[2]), math.sin(a[2])
+    return np.array(
+        [
+            a[0] + c * b[0] - s * b[1],
+            a[1] + s * b[0] + c * b[1],
+            math.atan2(math.sin(a[2] + b[2]), math.cos(a[2] + b[2])),
+        ]
+    )
+
+
+def _np_inverse(p):
+    c, s = math.cos(p[2]), math.sin(p[2])
+    return np.array([-(c * p[0] + s * p[1]), -(-s * p[0] + c * p[1]), -p[2]])
+
+
+def _np_relative(a, b):
+    return _np_compose(_np_inverse(a), b)
+
+
+class ProcessResult(NamedTuple):
+    processed: bool
+    pose: np.ndarray  # [3] corrected pose after matching/optimization
+    response: float
+    loop_closed: bool
+
+
+@dataclasses.dataclass
+class _ScanRecord:
+    state_id: int
+    odom_pose: np.ndarray
+    time: float
+    mean_local: np.ndarray  # [2] mean of valid local points (for barycenter)
+
+
+class KartoMapper:
+    """Stateful mapper mirroring ``karto::Mapper`` + ``MapperGraph``."""
+
+    def __init__(
+        self,
+        cfg: KartoConfig,
+        max_scans: int = 2048,
+        loop_chain_cap: int = 128,
+    ):
+        self.cfg = cfg
+        self.max_scans = max_scans
+        self.loop_chain_cap = loop_chain_cap
+
+        self.seq_spec = CorrelativeSpec(
+            resolution=cfg.correlation_search_space_resolution,
+            search_dim=cfg.correlation_search_space_dimension,
+            smear_deviation=cfg.correlation_search_space_smear_deviation,
+            range_threshold=cfg.use_scan_range,
+            coarse_angle_offset=cfg.coarse_search_angle_offset,
+            coarse_angle_resolution=cfg.coarse_angle_resolution,
+            fine_angle_offset=cfg.fine_search_angle_offset,
+            distance_variance_penalty=cfg.distance_variance_penalty,
+            angle_variance_penalty=cfg.angle_variance_penalty,
+            minimum_distance_penalty=cfg.minimum_distance_penalty,
+            minimum_angle_penalty=cfg.minimum_angle_penalty,
+            use_response_expansion=cfg.use_response_expansion,
+        )
+        self.loop_spec = CorrelativeSpec(
+            resolution=cfg.loop_search_space_resolution,
+            search_dim=cfg.loop_search_space_dimension,
+            smear_deviation=cfg.loop_search_space_smear_deviation,
+            range_threshold=cfg.use_scan_range,
+            coarse_angle_offset=cfg.coarse_search_angle_offset,
+            coarse_angle_resolution=cfg.coarse_angle_resolution,
+            fine_angle_offset=cfg.fine_search_angle_offset,
+            distance_variance_penalty=cfg.distance_variance_penalty,
+            angle_variance_penalty=cfg.angle_variance_penalty,
+            minimum_distance_penalty=cfg.minimum_distance_penalty,
+            minimum_angle_penalty=cfg.minimum_angle_penalty,
+            use_response_expansion=cfg.use_response_expansion,
+        )
+
+        b = cfg.num_beams
+        # device-side scan store (local sensor-frame points, fixed capacity)
+        self._pts = jnp.zeros((max_scans, b, 2), jnp.float32)
+        self._valid = jnp.zeros((max_scans, b), bool)
+        # host-side metadata
+        self.records: list[_ScanRecord] = []
+        self.poses = np.zeros((max_scans, 3))  # corrected sensor poses
+        self.running: list[int] = []  # running-scan window (state ids)
+        self.edges: list[tuple[int, int, np.ndarray, np.ndarray]] = []
+        self.adj: dict[int, set[int]] = {}
+        self.last_scan_id: int | None = None
+
+    # ------------------------------------------------------------- helpers
+    def _num(self) -> int:
+        return len(self.records)
+
+    def _barycenter(self, sid: int) -> np.ndarray:
+        """GetReferencePose(use_scan_barycenter): mean world point
+        (Karto.h:5312-5338); falls back to the pose if disabled."""
+        if not self.cfg.use_scan_barycenter:
+            return self.poses[sid][:2]
+        p = self.poses[sid]
+        c, s = math.cos(p[2]), math.sin(p[2])
+        m = self.records[sid].mean_local
+        return np.array(
+            [p[0] + c * m[0] - s * m[1], p[1] + s * m[0] + c * m[1]]
+        )
+
+    def _gather_chain(self, ids: list[int], cap: int):
+        """Pad a scan chain to ``cap`` for the static-shape matcher."""
+        ids = ids[:cap]
+        idx = jnp.asarray(
+            np.pad(np.asarray(ids, np.int32), (0, cap - len(ids))), jnp.int32
+        )
+        pts = jnp.take(self._pts, idx, axis=0)
+        valid = jnp.take(self._valid, idx, axis=0)
+        valid = valid & (jnp.arange(cap) < len(ids))[:, None]
+        poses = jnp.asarray(self.poses[np.asarray(ids)], jnp.float32)
+        if len(ids) < cap:
+            poses = jnp.concatenate(
+                [poses, jnp.zeros((cap - len(ids), 3), jnp.float32)]
+            )
+        wpts = se2.transform_points(poses, pts)
+        return wpts, valid
+
+    def _match(
+        self, spec, sid: int, center: np.ndarray, chain: list[int],
+        cap: int, penalize: bool, refine: bool,
+    ):
+        wpts, valid = self._gather_chain(chain, cap)
+        res = match_scan(
+            spec,
+            jnp.asarray(center, jnp.float32),
+            self._pts[sid],
+            self._valid[sid],
+            wpts,
+            valid,
+            penalize=penalize,
+            refine=refine,
+        )
+        return (
+            np.asarray(res.pose, np.float64),
+            float(res.response),
+            np.asarray(res.covariance, np.float64),
+        )
+
+    def _add_edge(self, i: int, j: int, mean: np.ndarray, cov: np.ndarray):
+        """LinkScans (Mapper.cpp:1105-1121): constraint = from-pose → mean,
+        precision = covariance inverse (spa_solver.cc:81-90)."""
+        if any(e[0] == i and e[1] == j for e in self.edges):
+            return  # AddEdge dedup (Mapper.cpp:1086-1096)
+        meas = _np_relative(self.poses[i], mean)
+        prec = np.linalg.inv(cov + 1e-12 * np.eye(3))
+        self.edges.append((i, j, meas, prec))
+        self.adj.setdefault(i, set()).add(j)
+        self.adj.setdefault(j, set()).add(i)
+
+    def _closest_in_chain(self, chain: list[int], ref_xy: np.ndarray) -> int:
+        ds = [
+            float(np.sum((self._barycenter(s) - ref_xy) ** 2)) for s in chain
+        ]
+        return chain[int(np.argmin(ds))]
+
+    def _link_chain_to_scan(
+        self, chain: list[int], sid: int, mean: np.ndarray, cov: np.ndarray
+    ):
+        """Mapper.cpp:1155-1170: edge from the chain scan closest to sid."""
+        ref = self._barycenter(sid)
+        closest = self._closest_in_chain(chain, ref)
+        d2 = float(np.sum((self._barycenter(closest) - ref) ** 2))
+        if d2 < self.cfg.link_scan_maximum_distance**2 + 1e-9:
+            self._add_edge(closest, sid, mean, cov)
+
+    def _find_near_linked(self, sid: int, max_distance: float) -> set[int]:
+        """BFS from sid over graph edges, keeping scans whose barycenter is
+        within max_distance (Mapper.cpp:1280-1292 NearScanVisitor)."""
+        ref = self._barycenter(sid)
+        seen = {sid}
+        out: set[int] = set()
+        frontier = [sid]
+        while frontier:
+            nxt = []
+            for v in frontier:
+                for w in self.adj.get(v, ()):  # noqa: B905
+                    if w in seen:
+                        continue
+                    seen.add(w)
+                    d2 = float(np.sum((self._barycenter(w) - ref) ** 2))
+                    if d2 < max_distance**2 + 1e-9:
+                        out.add(w)
+                        nxt.append(w)
+            frontier = nxt
+        return out
+
+    def _find_near_chains(self, sid: int) -> list[list[int]]:
+        """Mapper.cpp:1173-1275: grow each near-linked scan into a chain
+        along state ids while within link_scan_maximum_distance; chains
+        containing sid are invalid."""
+        ref = self._barycenter(sid)
+        maxd2 = self.cfg.link_scan_maximum_distance**2 + 1e-9
+        near = self._find_near_linked(sid, self.cfg.link_scan_maximum_distance)
+        processed: set[int] = set()
+        chains: list[list[int]] = []
+        for ns in sorted(near):
+            if ns == sid or ns in processed:
+                continue
+            processed.add(ns)
+            chain = [ns]
+            valid = True
+            for cand in range(ns - 1, -1, -1):
+                if cand == sid:
+                    valid = False
+                if float(np.sum((self._barycenter(cand) - ref) ** 2)) < maxd2:
+                    chain.insert(0, cand)
+                    processed.add(cand)
+                else:
+                    break
+            for cand in range(ns + 1, self._num()):
+                if cand == sid:
+                    valid = False
+                if float(np.sum((self._barycenter(cand) - ref) ** 2)) < maxd2:
+                    chain.append(cand)
+                    processed.add(cand)
+                else:
+                    break
+            if valid:
+                chains.append(chain)
+        return chains
+
+    def _weighted_mean(self, means, covs) -> np.ndarray:
+        """Mapper.cpp:1288-1330 covariance-weighted mean, circular heading."""
+        invs = [np.linalg.inv(c + 1e-12 * np.eye(3)) for c in covs]
+        wsum = np.linalg.inv(sum(invs))
+        acc = np.zeros(3)
+        tx = ty = 0.0
+        for m, inv in zip(means, invs):
+            acc += wsum @ inv @ m
+            tx += math.cos(m[2])
+            ty += math.sin(m[2])
+        acc[2] = math.atan2(ty / len(means), tx / len(means))
+        return acc
+
+    # ------------------------------------------------------------- process
+    def process(
+        self, scan: Scan, odom_pose, time: float = 0.0
+    ) -> ProcessResult:
+        odom_pose = np.asarray(odom_pose, np.float64)
+        cfg = self.cfg
+
+        if self._num() >= self.max_scans:
+            return ProcessResult(False, odom_pose, 0.0, False)
+
+        # 1. carry forward last correction (Mapper.cpp:2021-2025)
+        if self.last_scan_id is not None:
+            last = self.records[self.last_scan_id]
+            corrected = _np_compose(
+                _np_compose(
+                    self.poses[self.last_scan_id], _np_inverse(last.odom_pose)
+                ),
+                odom_pose,
+            )
+        else:
+            corrected = odom_pose.copy()
+
+        # 2. HasMovedEnough (Mapper.cpp:2087-2120) on ODOMETRIC poses
+        if self.last_scan_id is not None:
+            last = self.records[self.last_scan_id]
+            dt = time - last.time
+            dh = abs(
+                math.atan2(
+                    math.sin(odom_pose[2] - last.odom_pose[2]),
+                    math.cos(odom_pose[2] - last.odom_pose[2]),
+                )
+            )
+            d2 = float(np.sum((odom_pose[:2] - last.odom_pose[:2]) ** 2))
+            if not (
+                dt >= cfg.minimum_time_interval
+                or dh >= cfg.minimum_travel_heading
+                or d2 >= cfg.minimum_travel_distance**2 - 1e-9
+            ):
+                return ProcessResult(False, corrected, 0.0, False)
+
+        # stage the scan's points on device
+        sid = self._num()
+        pts, valid = scan_to_points(scan)
+        valid = valid & (scan.ranges <= cfg.use_scan_range) & (
+            scan.ranges > 0.0
+        )
+        self._pts = self._pts.at[sid].set(pts)
+        self._valid = self._valid.at[sid].set(valid)
+        mean_local = np.asarray(
+            jnp.sum(jnp.where(valid[:, None], pts, 0.0), axis=0)
+            / jnp.maximum(jnp.sum(valid), 1)
+        )
+
+        # 3. sequential match against running scans (Mapper.cpp:2037-2045)
+        response = 1.0
+        cov = np.eye(3)
+        if cfg.use_scan_matching and self.last_scan_id is not None:
+            best, response, cov = self._match(
+                self.seq_spec,
+                sid,
+                corrected,
+                self.running,
+                cfg.scan_buffer_size,
+                penalize=True,
+                refine=True,
+            )
+            corrected = best
+
+        self.poses[sid] = corrected
+        self.records.append(
+            _ScanRecord(sid, odom_pose, time, mean_local)
+        )
+
+        loop_closed = False
+        if cfg.use_scan_matching:
+            # 4. edges (AddEdges, Mapper.cpp:902-973)
+            means, covs = [], []
+            if self.last_scan_id is not None:
+                self._add_edge(sid - 1, sid, corrected, cov)
+                means.append(corrected.copy())
+                covs.append(cov)
+                self._link_chain_to_scan(self.running, sid, corrected, cov)
+
+                # near chains
+                for chain in self._find_near_chains(sid):
+                    if len(chain) < cfg.loop_match_minimum_chain_size:
+                        continue
+                    mean_c, resp_c, cov_c = self._match(
+                        self.seq_spec,
+                        sid,
+                        self.poses[sid],
+                        chain,
+                        cfg.scan_buffer_size,
+                        penalize=False,
+                        refine=True,
+                    )
+                    if resp_c > cfg.link_match_minimum_response_fine - 1e-9:
+                        means.append(mean_c)
+                        covs.append(cov_c)
+                        self._link_chain_to_scan(chain, sid, mean_c, cov_c)
+                if means:
+                    self.poses[sid] = self._weighted_mean(means, covs)
+
+            # 5. running window maintenance (Mapper.h:1356-1385)
+            self.running.append(sid)
+            while len(self.running) > cfg.scan_buffer_size:
+                self.running.pop(0)
+            while self.running and (
+                np.sum(
+                    (
+                        self._barycenter(self.running[0])
+                        - self._barycenter(self.running[-1])
+                    )
+                    ** 2
+                )
+                > cfg.scan_buffer_maximum_scan_distance**2
+            ):
+                self.running.pop(0)
+
+            # 6. loop closure
+            if cfg.do_loop_closing:
+                loop_closed = self._try_close_loop(sid)
+
+        self.last_scan_id = sid
+        return ProcessResult(True, self.poses[sid].copy(), response, loop_closed)
+
+    # --------------------------------------------------------- loop closure
+    def _find_possible_loop_chains(self, sid: int) -> list[list[int]]:
+        """FindPossibleLoopClosure (Mapper.cpp:1333-1394), all chains."""
+        cfg = self.cfg
+        ref = self._barycenter(sid)
+        near = self._find_near_linked(sid, cfg.loop_search_maximum_distance)
+        chains = []
+        chain: list[int] = []
+        for cand in range(self._num() - 1):  # old scans only
+            d2 = float(np.sum((self._barycenter(cand) - ref) ** 2))
+            if d2 < cfg.loop_search_maximum_distance**2 + 1e-9:
+                if cand in near:
+                    chain = []
+                else:
+                    chain.append(cand)
+            else:
+                if len(chain) >= cfg.loop_match_minimum_chain_size:
+                    chains.append(chain)
+                chain = []
+        if len(chain) >= cfg.loop_match_minimum_chain_size:
+            chains.append(chain)
+        return chains
+
+    def _try_close_loop(self, sid: int) -> bool:
+        cfg = self.cfg
+        closed = False
+        for chain in self._find_possible_loop_chains(sid):
+            best, coarse_resp, cov = self._match(
+                self.loop_spec,
+                sid,
+                self.poses[sid],
+                chain,
+                self.loop_chain_cap,
+                penalize=False,
+                refine=False,
+            )
+            if (
+                coarse_resp > cfg.loop_match_minimum_response_coarse
+                and cov[0, 0] < cfg.loop_match_maximum_variance_coarse
+                and cov[1, 1] < cfg.loop_match_maximum_variance_coarse
+            ):
+                fine, fine_resp, fine_cov = self._match(
+                    self.seq_spec,
+                    sid,
+                    best,
+                    chain,
+                    cfg.scan_buffer_size,
+                    penalize=False,
+                    refine=True,
+                )
+                if fine_resp >= cfg.loop_match_minimum_response_fine:
+                    self.poses[sid] = fine
+                    self._link_chain_to_scan(chain, sid, fine, fine_cov)
+                    self.correct_poses()
+                    closed = True
+        return closed
+
+    def correct_poses(self):
+        """CorrectPoses (Mapper.cpp:1397-1414): run the solver, write back."""
+        if not self.cfg.use_back_end or not self.edges:
+            return
+        n = self._num()
+        e = len(self.edges)
+        cap_n = 1 << max(4, (n - 1).bit_length())
+        cap_e = 1 << max(4, (e - 1).bit_length())
+        g = empty_graph(cap_n, cap_e)
+        g = g._replace(
+            poses=g.poses.at[:n].set(jnp.asarray(self.poses[:n], jnp.float32)),
+            node_mask=g.node_mask.at[:n].set(True),
+            edge_i=g.edge_i.at[:e].set(
+                jnp.asarray([x[0] for x in self.edges], jnp.int32)
+            ),
+            edge_j=g.edge_j.at[:e].set(
+                jnp.asarray([x[1] for x in self.edges], jnp.int32)
+            ),
+            measurements=g.measurements.at[:e].set(
+                jnp.asarray([x[2] for x in self.edges], jnp.float32)
+            ),
+            precisions=g.precisions.at[:e].set(
+                jnp.asarray([x[3] for x in self.edges], jnp.float32)
+            ),
+            edge_mask=g.edge_mask.at[:e].set(True),
+        )
+        poses, stats = optimize(g, num_iters=40, cg_iters=60)
+        self.poses[:n] = np.asarray(poses[:n], np.float64)
+
+    # --------------------------------------------------------------- output
+    def occupancy_grid(self, resolution: float | None = None):
+        """OccupancyGrid::CreateFromScans (Karto.h:5659-5990) as the counts
+        kernel + karto thresholds."""
+        from tpuslam.core.grid import GridSpec
+        from tpuslam.ops.counts import accumulate_scan, karto_export, zero_counts
+
+        cfg = self.cfg
+        res = resolution or cfg.resolution
+        n = self._num()
+        if n == 0:
+            return None
+        poses = self.poses[:n]
+        margin = cfg.use_scan_range + 1.0
+        xmin = poses[:, 0].min() - margin
+        xmax = poses[:, 0].max() + margin
+        ymin = poses[:, 1].min() - margin
+        ymax = poses[:, 1].max() + margin
+        spec = GridSpec(
+            res,
+            int(math.ceil((xmax - xmin) / res)),
+            int(math.ceil((ymax - ymin) / res)),
+            xmin,
+            ymin,
+        )
+        counts = zero_counts(spec)
+        jposes = jnp.asarray(poses, jnp.float32)
+        wpts = se2.transform_points(jposes, self._pts[:n])
+        max_steps = int(cfg.use_scan_range / res) + 2
+        for i in range(n):
+            counts = accumulate_scan(
+                spec,
+                counts,
+                spec.world_to_map(jposes[i, :2]),
+                spec.world_to_map(wpts[i]),
+                jnp.zeros(self._valid.shape[1], bool),
+                self._valid[i],
+                max_steps=max_steps,
+            )
+        return spec, karto_export(
+            counts,
+            min_pass_through=cfg.min_pass_through,
+            occupancy_threshold=cfg.occupancy_threshold,
+        )
