@@ -28,7 +28,8 @@ def main() -> None:
     from tpuslam.match.hector import match_pyramid
     from tpuslam.models import hector_slam
 
-    cfg = HectorConfig(map_size=1024, num_beams=512, ray_steps=512)
+    cfg = HectorConfig(map_size=1024, num_beams=512, ray_steps=512,
+                       laser_max_dist=12.0)
     specs = hector_slam.make_specs(cfg)
 
     # Build a map from a handful of posed scans (same path the engine uses).
@@ -46,7 +47,7 @@ def main() -> None:
     prob_grids = tuple(prob_from_log_odds(lo) for lo in state.log_odds)
 
     # Batch of perturbed scans to match.
-    batch = 256
+    batch = 1024
     rng = np.random.default_rng(0)
     true_poses = rng.uniform(-0.2, 0.2, size=(batch, 3)).astype(np.float32)
     all_pts, all_valid, guesses = [], [], []
@@ -69,6 +70,8 @@ def main() -> None:
                 specs, prob_grids, p, v, g,
                 iterations_finest=cfg.iterations_finest,
                 iterations_coarse=cfg.iterations_coarse,
+                max_point_range=cfg.laser_max_dist,
+                compute_dtype=jnp.dtype(cfg.matcher_dtype),
             ).pose
 
         return jax.vmap(one)(pts, valid, guesses)

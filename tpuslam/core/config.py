@@ -120,6 +120,14 @@ class HectorConfig:
     yaw_step_clamp: float = 0.2  # ScanMatcher.h:128-133
     num_beams: int = 1500
     ray_steps: int = 768  # static free-space step budget per beam
+    # "mxu": bilinear sampling as one-hot matmuls over a pose-centered crop
+    # (fast path, ops/mxu_interp.py); "gather": 4-neighbor gathers over the
+    # full grid (the literal formulation, ops/bilinear.py)
+    matcher_impl: str = "mxu"
+    # matmul dtype for the mxu path: "bfloat16" = single MXU pass (~4x rate,
+    # ~3e-3 probability resolution — matching optimum unchanged);
+    # "float32" = exact parity with the gather formulation
+    matcher_dtype: str = "bfloat16"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -96,6 +96,42 @@ def _solve3(h: Array, dtr: Array) -> tuple[Array, Array]:
     return jnp.where(ok, delta, jnp.zeros(3, h.dtype)), ok
 
 
+def gn_system_mxu(
+    crop: Array,
+    crop_origin: Array,
+    compute_dtype,
+    pts: Array,
+    valid: Array,
+    pose_map: Array,
+) -> tuple[Array, Array, Array]:
+    """Same normal system as gn_system, but sampling on the MXU via
+    fractional one-hot matmuls over a pose-centered crop (ops/mxu_interp.py).
+    compute_dtype=float32 is numerically identical to the gather path for
+    points inside the crop window; bfloat16 trades ~3e-3 of probability
+    resolution for ~4x matmul rate (the GN optimum is unchanged in practice
+    — see tests/test_hector.py trajectory tolerances)."""
+    from tpuslam.ops.mxu_interp import interp_value_grad_mxu
+
+    c, s = jnp.cos(pose_map[2]), jnp.sin(pose_map[2])
+    px, py = pts[..., 0], pts[..., 1]
+    tx = c * px - s * py + pose_map[0] - crop_origin[0]
+    ty = s * px + c * py + pose_map[1] - crop_origin[1]
+    mpts = jnp.stack([tx, ty], axis=-1)
+
+    val, grad, inb = interp_value_grad_mxu(
+        crop, mpts, valid, compute_dtype=compute_dtype
+    )
+    mx, my = grad[..., 0], grad[..., 1]
+    rot = (-s * px - c * py) * mx + (c * px - s * py) * my
+
+    r = jnp.where(inb, 1.0 - val, 0.0)
+    j = jnp.stack([mx, my, rot], axis=-1)
+    h = jnp.einsum("bi,bj->ij", j, j)
+    dtr = jnp.einsum("bi,b->i", j, r)
+    n = jnp.maximum(jnp.sum(valid), 1)
+    return h, dtr, jnp.sum(jnp.where(inb, val, 0.0)) / n
+
+
 def match_level(
     prob_grid: Array,
     pts: Array,
@@ -104,11 +140,28 @@ def match_level(
     *,
     num_iters: int,
     yaw_clamp: float = 0.2,
+    window: int | None = None,
+    compute_dtype=jnp.float32,
 ) -> tuple[Array, Array, Array]:
-    """Fixed-count GN iterations against one pyramid level (map coords)."""
+    """Fixed-count GN iterations against one pyramid level (map coords).
+
+    With ``window`` set, sampling runs on the MXU against a crop of that many
+    cells centered on the initial pose (the fast path); otherwise the gather
+    formulation samples the full grid."""
+    if window is not None and window < min(prob_grid.shape):
+        from tpuslam.ops.mxu_interp import crop_grid
+
+        crop, origin = crop_grid(prob_grid, pose_map[:2], window)
+        sample = partial(gn_system_mxu, crop, origin, compute_dtype)
+    elif window is not None:
+        sample = partial(
+            gn_system_mxu, prob_grid, jnp.zeros(2, pose_map.dtype), compute_dtype
+        )
+    else:
+        sample = partial(gn_system, prob_grid)
 
     def body(pose, _):
-        h, dtr, score = gn_system(prob_grid, pts, valid, pose)
+        h, dtr, score = sample(pts, valid, pose)
         delta, ok = _solve3(h, dtr)
         dth = jnp.clip(delta[2], -yaw_clamp, yaw_clamp)  # ScanMatcher.h:128-133
         new_pose = pose + jnp.stack([delta[0], delta[1], dth])
@@ -131,11 +184,16 @@ def match_pyramid(
     iterations_finest: int = 5,
     iterations_coarse: int = 3,
     yaw_clamp: float = 0.2,
+    max_point_range: float | None = None,
+    compute_dtype=jnp.float32,
 ) -> MatchResult:
     """Coarse-to-fine match; level 0 is finest (MapRepMultiMap.h:144-167).
 
     pts_base: [B, 2] scan points in **meters** (sensor frame).
     pose_world: [3] initial pose in world frame.
+    max_point_range: when set (meters), each level samples through an
+    MXU-friendly crop window of ``2*max_point_range/res + margin`` cells —
+    the fast path; beams must be range-gated to this distance.
     """
     n_levels = len(specs)
     pose = pose_world
@@ -146,6 +204,12 @@ def match_pyramid(
         pts_map = pts_base / spec.resolution  # DataPointContainer.h:46-58 scale
         pose_map = spec.world_pose_to_map(pose)
         iters = iterations_finest if lvl == 0 else iterations_coarse
+        window = None
+        if max_point_range is not None:
+            from tpuslam.ops.mxu_interp import round_up
+
+            need = int(2.0 * max_point_range / spec.resolution) + 64
+            window = min(round_up(need, 128), round_up(min(spec.shape), 128))
         pose_map, hessian, score = match_level(
             prob_grids[lvl],
             pts_map,
@@ -153,6 +217,8 @@ def match_pyramid(
             pose_map,
             num_iters=iters,
             yaw_clamp=yaw_clamp,
+            window=window,
+            compute_dtype=compute_dtype,
         )
         pose = spec.map_pose_to_world(pose_map)
     return MatchResult(pose=pose, hessian=hessian, score=score)

@@ -62,6 +62,10 @@ def batch_match(
             iterations_finest=cfg.iterations_finest,
             iterations_coarse=cfg.iterations_coarse,
             yaw_clamp=cfg.yaw_step_clamp,
+            max_point_range=(
+                cfg.laser_max_dist if cfg.matcher_impl == "mxu" else None
+            ),
+            compute_dtype=jnp.dtype(cfg.matcher_dtype),
         )
         return res.pose, res.score
 
