@@ -1,0 +1,82 @@
+"""CLI smoke tests: every workload runs on a synthetic log and emits JSON."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def run_cli(*args):
+    env = dict(os.environ, TPUSLAM_PLATFORM="cpu")
+    out = subprocess.run(
+        [sys.executable, "-m", "tpuslam.cli", *args],
+        capture_output=True, text=True, timeout=1200, cwd="/root/repo",
+        env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_synth_and_load(tmp_path):
+    p = tmp_path / "log.tslg"
+    r = run_cli("synth", "--out", str(p), "--num-scans", "8",
+                "--num-beams", "64", "--synthetic")
+    assert r["scans"] == 8 and r["beams"] == 64
+    from tpuslam.io import bag
+
+    log = bag.load(p)
+    assert len(log) == 8
+
+
+def test_features_cmd():
+    r = run_cli("features", "--synthetic", "--num-scans", "4",
+                "--num-beams", "120")
+    assert r["workload"] == "features" and r["mean_corners"] >= 0
+
+
+def test_icp_cmd():
+    r = run_cli("scan-match-icp", "--synthetic", "--num-scans", "4",
+                "--num-beams", "180")
+    assert r["workload"] == "scan_match_icp"
+
+
+def test_plicp_cmd(tmp_path):
+    save = tmp_path / "out.npz"
+    r = run_cli("plicp-odometry", "--synthetic", "--num-scans", "10",
+                "--num-beams", "180", "--save", str(save))
+    assert r["ate_rmse"] is not None and r["ate_rmse"] < 0.1
+    assert np.load(save)["poses"].shape == (10, 3)
+
+
+def test_occupancy_cmd():
+    r = run_cli("occupancy-map", "--synthetic", "--num-scans", "6",
+                "--num-beams", "180")
+    assert r["occupied_cells"] > 0 and r["free_cells"] > 0
+
+
+def test_hector_cmd(tmp_path):
+    save = tmp_path / "h.npz"
+    # hector has no motion prediction: needs dense scan-to-scan motion
+    r = run_cli("hector", "--synthetic", "--num-scans", "12",
+                "--num-beams", "240", "--poses-per-rev", "120",
+                "--save", str(save))
+    assert r["ate_rmse"] < 0.1, r
+    z = np.load(save)
+    assert z["map"].ndim == 2 and z["poses"].shape == (12, 3)
+
+
+def test_undistort_cmd():
+    r = run_cli("undistort", "--synthetic", "--num-scans", "4",
+                "--num-beams", "90")
+    assert r["scans"] == 3
+
+
+@pytest.mark.slow
+def test_karto_cmd():
+    r = run_cli("karto", "--synthetic", "--num-scans", "20",
+                "--num-beams", "180")
+    assert r["scans_processed"] > 5
+    assert r["ate_rmse"] is not None and r["ate_rmse"] < 0.15

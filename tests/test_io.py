@@ -1,0 +1,122 @@
+"""Scan-log IO: native codec round-trip, npz, synthesis, checkpointing."""
+
+import numpy as np
+import pytest
+
+from tpuslam.io import bag
+
+
+def make_log(t=5, b=16):
+    rng = np.random.default_rng(0)
+    return bag.ScanLog(
+        ranges=rng.uniform(0.5, 10, (t, b)).astype(np.float32),
+        stamps=np.arange(t, dtype=np.float64) * 0.1,
+        odom=rng.uniform(-1, 1, (t, 3)).astype(np.float32),
+        imu_wz=rng.uniform(-1, 1, t).astype(np.float32),
+        angle_min=-1.5,
+        angle_increment=0.01,
+        range_min=0.1,
+        range_max=30.0,
+        time_increment=0.0001,
+    )
+
+
+def assert_logs_equal(a, b):
+    assert np.allclose(a.ranges, b.ranges)
+    assert np.allclose(a.stamps, b.stamps)
+    assert np.allclose(a.odom, b.odom)
+    assert np.allclose(a.imu_wz, b.imu_wz)
+    assert a.angle_min == pytest.approx(b.angle_min)
+    assert a.angle_increment == pytest.approx(b.angle_increment)
+
+
+def test_tslg_roundtrip_native_or_fallback(tmp_path):
+    log = make_log()
+    p = tmp_path / "x.tslg"
+    bag.save_tslg(p, log)
+    got = bag.load_tslg(p)
+    assert_logs_equal(log, got)
+
+
+def test_python_fallback_bit_identical(tmp_path):
+    # force the pure-python path and compare bytes with whatever save used
+    log = make_log()
+    p1 = tmp_path / "a.tslg"
+    p2 = tmp_path / "b.tslg"
+    bag.save_tslg(p1, log)
+    lib = bag._LIB
+    tried = bag._LIB_TRIED
+    bag._LIB, bag._LIB_TRIED = None, True  # disable native
+    try:
+        bag.save_tslg(p2, log)
+        got = bag.load_tslg(p1)  # python reader on (possibly) native bytes
+        assert_logs_equal(log, got)
+    finally:
+        bag._LIB, bag._LIB_TRIED = lib, tried
+    assert p1.read_bytes() == p2.read_bytes()
+
+
+def test_npz_roundtrip(tmp_path):
+    log = make_log()
+    p = tmp_path / "x.npz"
+    bag.save_npz(p, log)
+    got = bag.load(p)
+    assert_logs_equal(log, got)
+
+
+def test_synthesize_shapes_and_scan():
+    log, true = bag.synthesize(num_scans=12, num_beams=90)
+    assert len(log) == 12 and log.num_beams == 90
+    assert true.shape == (12, 3)
+    sc = log.scan(3)
+    assert sc.ranges.shape == (90,)
+    batched = log.scans_batched()
+    assert batched.ranges.shape == (12, 90)
+    # odometry starts at the true start and drifts slowly
+    assert np.allclose(log.odom[0], true[0], atol=1e-5)
+
+
+def test_checkpoint_pytree_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from tpuslam.checkpoint import load_pytree, save_pytree
+    from tpuslam.core.config import HectorConfig
+    from tpuslam.models import hector_slam
+
+    cfg = HectorConfig(map_size=64, map_multi_res_levels=2, num_beams=32,
+                       ray_steps=32)
+    st = hector_slam.init_state(cfg)
+    st = st._replace(pose=jnp.asarray([1.0, 2.0, 0.5]))
+    p = tmp_path / "st.npz"
+    save_pytree(p, st)
+    got = load_pytree(p, hector_slam.init_state(cfg))
+    assert np.allclose(np.asarray(got.pose), [1.0, 2.0, 0.5])
+    assert got.log_odds[0].shape == st.log_odds[0].shape
+
+
+def test_checkpoint_karto_roundtrip(tmp_path):
+    from tpuslam.checkpoint import load_karto, save_karto
+    from tpuslam.core.config import KartoConfig
+    from tpuslam.core.scan import make_scan
+    from tpuslam.models.karto import KartoMapper
+
+    cfg = KartoConfig(num_beams=64, use_scan_range=6.0,
+                      correlation_search_space_dimension=0.32,
+                      correlation_search_space_resolution=0.02,
+                      correlation_search_space_smear_deviation=0.04,
+                      do_loop_closing=False, scan_buffer_size=8)
+    m = KartoMapper(cfg, max_scans=8)
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        sc = make_scan(rng.uniform(1, 5, 64), angle_min=-1.5,
+                       angle_increment=0.05, range_min=0.1, range_max=30.0)
+        m.process(sc, np.array([0.3 * i, 0.0, 0.0]), time=float(i) * 10000.0)
+    p = tmp_path / "karto.npz"
+    save_karto(p, m)
+    m2 = KartoMapper(cfg, max_scans=8)
+    load_karto(p, m2)
+    assert len(m2.records) == len(m.records)
+    assert np.allclose(m2.poses[:3], m.poses[:3])
+    assert m2.edges[0][0] == m.edges[0][0]
+    assert m2.running == m.running
+    assert m2.last_scan_id == m.last_scan_id

@@ -1,0 +1,75 @@
+"""Sharded batched SLAM over the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuslam.core.config import HectorConfig
+from tpuslam.core.scan import make_scan
+from tpuslam.io.simulate import rect_room, simulate_scan
+from tpuslam.models import hector_slam
+from tpuslam.parallel.mesh import batch_step, make_mesh, sharded_batch_step
+
+CFG = HectorConfig(
+    map_size=128, map_multi_res_levels=2, num_beams=64, ray_steps=64,
+    laser_max_dist=12.0,
+)
+
+
+def make_batch(n):
+    segs = rect_room(8.0, 6.0)
+    scans = []
+    for i in range(n):
+        p = np.array([0.02 * i, -0.01 * i, 0.01 * i])
+        r, amin, ainc = simulate_scan(segs, p, num_beams=64, max_range=20.0)
+        scans.append(make_scan(r, angle_min=amin, angle_increment=ainc,
+                               range_min=0.1, range_max=20.0, num_beams=64))
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *scans)
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_step_runs_and_updates_map():
+    mesh = make_mesh(8)
+    scans = make_batch(16)
+    state = hector_slam.init_state(CFG)
+    step = sharded_batch_step(CFG, mesh)
+    new_state, poses = step(state, scans)
+    jax.block_until_ready(poses)
+    assert poses.shape == (16, 3)
+    assert int(new_state.num_updates) == 1
+    # the joint update must have written occupied cells
+    assert float(new_state.log_odds[0].max()) > 0.0
+
+
+def test_sharded_matches_unsharded():
+    mesh = make_mesh(8)
+    scans = make_batch(8)
+    state = hector_slam.init_state(CFG)
+    sharded = sharded_batch_step(CFG, mesh)(state, scans)
+    local = jax.jit(lambda s, sc: batch_step(CFG, s, sc))(state, scans)
+    np.testing.assert_allclose(
+        np.asarray(sharded[1]), np.asarray(local[1]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded[0].log_odds[0]),
+        np.asarray(local[0].log_odds[0]),
+        atol=1e-5,
+    )
+
+
+def test_events_bus():
+    from tpuslam.utils.events import EventBus
+
+    bus = EventBus()
+    got = []
+    unsub = bus.subscribe(lambda e, p: got.append((e, p)))
+    bus.fire("loop_closure_check", scan=3, coarse_response=0.7)
+    assert got == [("loop_closure_check", {"scan": 3, "coarse_response": 0.7})]
+    unsub()
+    bus.fire("x")
+    assert len(got) == 1

@@ -1,0 +1,105 @@
+"""SLAM-state checkpoint/resume.
+
+The reference has NO checkpointing (SURVEY.md §5: the karto Dataset retains
+scans only for memory ownership; sba_file_io exists but is unwired) — this is
+a new first-class capability: engine states are pytrees of arrays, saved as
+npz with a structure manifest, so any run can stop and resume.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def save_pytree(path: str | os.PathLike, tree) -> None:
+    """Save any pytree-of-arrays (engine states, graphs) to one npz."""
+    leaves, treedef = jax.tree.flatten(tree)
+    arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+    arrays["__treedef__"] = np.frombuffer(
+        json.dumps(str(treedef)).encode(), dtype=np.uint8
+    )
+    np.savez_compressed(path, **arrays)
+
+
+def load_pytree(path: str | os.PathLike, like):
+    """Load a pytree saved by save_pytree; ``like`` provides the structure."""
+    z = np.load(path)
+    leaves_like, treedef = jax.tree.flatten(like)
+    n = len([k for k in z.files if k.startswith("leaf_")])
+    if n != len(leaves_like):
+        raise ValueError(
+            f"checkpoint has {n} leaves; template expects {len(leaves_like)}"
+        )
+    leaves = [
+        jnp.asarray(z[f"leaf_{i}"], dtype=leaves_like[i].dtype)
+        if hasattr(leaves_like[i], "dtype")
+        else z[f"leaf_{i}"]
+        for i in range(n)
+    ]
+    return jax.tree.unflatten(treedef, leaves)
+
+
+def save_karto(path: str | os.PathLike, mapper) -> None:
+    """Checkpoint a models.karto.KartoMapper (scans, poses, edges, window)."""
+    n = len(mapper.records)
+    e = len(mapper.edges)
+    np.savez_compressed(
+        path,
+        pts=np.asarray(mapper._pts[:n]),
+        valid=np.asarray(mapper._valid[:n]),
+        poses=mapper.poses[:n],
+        odom=np.stack([r.odom_pose for r in mapper.records])
+        if n
+        else np.zeros((0, 3)),
+        times=np.array([r.time for r in mapper.records]),
+        mean_local=np.stack([r.mean_local for r in mapper.records])
+        if n
+        else np.zeros((0, 2)),
+        running=np.array(mapper.running, np.int32),
+        edge_i=np.array([x[0] for x in mapper.edges], np.int32),
+        edge_j=np.array([x[1] for x in mapper.edges], np.int32),
+        edge_meas=np.stack([x[2] for x in mapper.edges])
+        if e
+        else np.zeros((0, 3)),
+        edge_prec=np.stack([x[3] for x in mapper.edges])
+        if e
+        else np.zeros((0, 3, 3)),
+        last_scan_id=np.int64(
+            -1 if mapper.last_scan_id is None else mapper.last_scan_id
+        ),
+    )
+
+
+def load_karto(path: str | os.PathLike, mapper) -> None:
+    """Restore a KartoMapper checkpoint into a freshly-constructed mapper
+    (must be built with the same config/num_beams)."""
+    from tpuslam.models.karto import _ScanRecord
+
+    z = np.load(path)
+    n = z["poses"].shape[0]
+    if n > mapper.max_scans:
+        raise ValueError("checkpoint larger than mapper capacity")
+    mapper._pts = mapper._pts.at[:n].set(jnp.asarray(z["pts"]))
+    mapper._valid = mapper._valid.at[:n].set(jnp.asarray(z["valid"]))
+    mapper.poses[:n] = z["poses"]
+    mapper.records = [
+        _ScanRecord(i, z["odom"][i], float(z["times"][i]), z["mean_local"][i])
+        for i in range(n)
+    ]
+    mapper.running = [int(x) for x in z["running"]]
+    mapper.edges = [
+        (int(z["edge_i"][k]), int(z["edge_j"][k]), z["edge_meas"][k],
+         z["edge_prec"][k])
+        for k in range(z["edge_i"].shape[0])
+    ]
+    mapper.adj = {}
+    for i, j, _, _ in mapper.edges:
+        mapper.adj.setdefault(i, set()).add(j)
+        mapper.adj.setdefault(j, set()).add(i)
+    lid = int(z["last_scan_id"])
+    mapper.last_scan_id = None if lid < 0 else lid

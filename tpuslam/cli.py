@@ -1,0 +1,355 @@
+"""tpuslam command line: the six lesson workloads as subcommands.
+
+Replaces the reference's roslaunch entry points (SURVEY.md §1 L5 layer:
+lesson*/launch/*.launch + rosbag playback) with ``python -m tpuslam.cli``:
+
+    synth            generate a synthetic scan log (.tslg / .npz)
+    features         lesson1: curvature corner extraction
+    scan-match-icp   lesson2: frame-to-frame ICP
+    plicp-odometry   lesson3: PL-ICP keyframe odometry
+    occupancy-map    lesson4: gmapping-style hit/visit map from posed scans
+    hector           lesson4: hector SLAM
+    undistort        lesson5: IMU/odom motion-distortion correction
+    karto            lesson6: correlative frontend + loop closure + solver
+
+Every workload runs from a scan log (``--log``) or a synthesized one
+(``--synthetic``), prints a JSON result line, and can save outputs with
+``--save out.npz``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+if os.environ.get("TPUSLAM_PLATFORM"):
+    # Honor an explicit platform request (e.g. tests forcing CPU) before any
+    # backend initialization; plain JAX_PLATFORMS can be pre-set by site
+    # startup hooks in TPU pods, so route through jax.config.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", os.environ["TPUSLAM_PLATFORM"])
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--log", help="scan log path (.tslg or .npz)")
+    p.add_argument("--synthetic", action="store_true",
+                   help="generate a synthetic log instead of --log")
+    p.add_argument("--num-scans", type=int, default=60)
+    p.add_argument("--poses-per-rev", type=int, default=40,
+                   help="synthetic circle density (scan-to-scan motion)")
+    p.add_argument("--num-beams", type=int, default=360)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--save", help="write outputs (npz)")
+    p.add_argument("--report", action="store_true",
+                   help="print per-stage timing report to stderr")
+
+
+def _get_log(args):
+    from tpuslam.io import bag
+
+    if args.log:
+        return bag.load(args.log), None
+    log, true = bag.synthesize(
+        num_scans=args.num_scans, num_beams=args.num_beams, seed=args.seed,
+        poses_per_rev=args.poses_per_rev,
+    )
+    return log, true
+
+
+def _ate(poses: np.ndarray, true: np.ndarray | None):
+    if true is None:
+        return None
+    n = min(len(poses), len(true))
+    return float(
+        np.sqrt(((poses[:n, :2] - true[:n, :2]) ** 2).sum(1)).mean()
+    )
+
+
+def _emit(payload: dict, save: str | None, arrays: dict | None = None):
+    print(json.dumps(payload))
+    if save and arrays:
+        np.savez_compressed(save, **arrays)
+
+
+def cmd_synth(args):
+    from tpuslam.io import bag
+
+    log, true = bag.synthesize(
+        num_scans=args.num_scans, num_beams=args.num_beams, seed=args.seed
+    )
+    out = args.out
+    if out.endswith(".npz"):
+        bag.save_npz(out, log)
+    else:
+        bag.save_tslg(out, log)
+    np.savez_compressed(out + ".truth.npz", true=true)
+    print(json.dumps({"written": out, "scans": len(log),
+                      "beams": log.num_beams}))
+
+
+def cmd_features(args):
+    from tpuslam.core.config import FeatureConfig
+    from tpuslam.ops.features import extract_features
+
+    log, _ = _get_log(args)
+    cfg = FeatureConfig()
+    counts = []
+    masks = []
+    for i in range(len(log)):
+        f = extract_features(cfg, log.scan(i))
+        m = np.asarray(f.corner_mask)
+        counts.append(int(m.sum()))
+        masks.append(m)
+    _emit(
+        {"workload": "features", "scans": len(log),
+         "mean_corners": float(np.mean(counts))},
+        args.save,
+        {"corner_masks": np.stack(masks)},
+    )
+
+
+def cmd_icp(args):
+    from tpuslam.core.config import IcpConfig
+    from tpuslam.models import scan_match_icp
+
+    log, _ = _get_log(args)
+    cfg = IcpConfig(num_beams=log.num_beams, max_iterations=20)
+    st = scan_match_icp.init_state(cfg)
+    out = []
+    for i in range(len(log)):
+        st, res = scan_match_icp.step(cfg, st, log.scan(i))
+        out.append(np.asarray(res.pose))
+    out = np.stack(out)
+    _emit(
+        {"workload": "scan_match_icp", "frames": len(log),
+         "mean_step_norm": float(np.linalg.norm(out[1:, :2], axis=1).mean())},
+        args.save,
+        {"transforms": out},
+    )
+
+
+def cmd_plicp(args):
+    from tpuslam.core import se2
+    import jax.numpy as jnp
+
+    from tpuslam.core.config import PlicpConfig
+    from tpuslam.models import plicp_odometry
+    from tpuslam.utils.timing import StepTimer
+
+    log, true = _get_log(args)
+    cfg = PlicpConfig(num_beams=log.num_beams)
+    st = plicp_odometry.init_state(cfg)
+    timer = StepTimer()
+    poses = []
+    dts = np.diff(log.stamps, prepend=log.stamps[0] - 0.1)
+    for i in range(len(log)):
+        with timer.stage("plicp_step"):
+            st, info = plicp_odometry.step(cfg, st, log.scan(i),
+                                           dt=float(dts[i]))
+        poses.append(np.asarray(info.pose))
+    poses = np.stack(poses)
+    # odometry is relative to the first pose's frame
+    rel_true = None
+    if true is not None:
+        t0 = jnp.asarray(true[0], jnp.float32)
+        rel_true = np.stack(
+            [np.asarray(se2.relative(t0, jnp.asarray(p, jnp.float32)))
+             for p in true]
+        )
+    if args.report:
+        print(timer.report(), file=sys.stderr)
+    _emit(
+        {"workload": "plicp_odometry", "scans": len(log),
+         "ate_rmse": _ate(poses, rel_true)},
+        args.save,
+        {"poses": poses},
+    )
+
+
+def cmd_occupancy(args):
+    import jax.numpy as jnp
+
+    from tpuslam.core.config import GmappingConfig
+    from tpuslam.models import gmapping
+    from tpuslam.ops.counts import gmapping_export
+
+    log, true = _get_log(args)
+    poses = true if true is not None else log.odom
+    span = float(np.abs(poses[:, :2]).max()) + log.range_max / 2 + 1
+    cfg = GmappingConfig(
+        xmin=-span, ymin=-span, xmax=span, ymax=span, delta=0.05,
+        num_beams=log.num_beams,
+        ray_steps=int(log.range_max / 0.05) + 8,
+    )
+    counts = gmapping.map_from_scans(
+        cfg, jnp.asarray(poses, jnp.float32), log.scans_batched()
+    )
+    img = np.asarray(gmapping_export(counts, cfg.occ_thresh))
+    _emit(
+        {"workload": "occupancy_map", "scans": len(log),
+         "occupied_cells": int((img == 100).sum()),
+         "free_cells": int((img == 0).sum())},
+        args.save,
+        {"map": img},
+    )
+
+
+def cmd_hector(args):
+    import jax.numpy as jnp
+
+    from tpuslam.core.config import HectorConfig
+    from tpuslam.models import hector_slam
+    from tpuslam.utils.timing import StepTimer
+
+    log, true = _get_log(args)
+    cfg = HectorConfig(
+        map_size=512, num_beams=log.num_beams,
+        laser_max_dist=min(log.range_max, 25.0),
+        ray_steps=512,
+        map_update_distance_thresh=0.1, map_update_angle_thresh=0.15,
+    )
+    st = hector_slam.init_state(cfg)
+    if true is not None:
+        st = st._replace(pose=jnp.asarray(true[0], jnp.float32))
+    st, _ = hector_slam.step(cfg, st, log.scan(0), map_without_matching=True)
+    timer = StepTimer()
+    poses = [np.asarray(st.pose)]
+    for i in range(1, len(log)):
+        with timer.stage("hector_step"):
+            st, res = hector_slam.step(cfg, st, log.scan(i))
+        poses.append(np.asarray(st.pose))
+    poses = np.stack(poses)
+    if args.report:
+        print(timer.report(), file=sys.stderr)
+    _emit(
+        {"workload": "hector", "scans": len(log),
+         "ate_rmse": _ate(poses, true),
+         "map_updates": int(st.num_updates)},
+        args.save,
+        {"poses": poses,
+         "map": np.asarray(hector_slam.occupancy_image(st))},
+    )
+
+
+def cmd_undistort(args):
+    import jax.numpy as jnp
+
+    from tpuslam.core.config import UndistortConfig
+    from tpuslam.models.undistort import make_imu_buffer, undistort
+
+    log, _ = _get_log(args)
+    cfg = UndistortConfig()
+    pts_all = []
+    for i in range(1, len(log)):
+        t0, t1 = float(log.stamps[i - 1]), float(log.stamps[i])
+        imu = make_imu_buffer(
+            np.array([t0, t1]), np.array([log.imu_wz[i]] * 2), 64
+        )
+        # odom relative motion over the scan period
+        a, b = log.odom[i - 1], log.odom[i]
+        ca, sa = np.cos(a[2]), np.sin(a[2])
+        d = b[:2] - a[:2]
+        rel = np.array([ca * d[0] + sa * d[1], -sa * d[0] + ca * d[1],
+                        np.arctan2(np.sin(b[2] - a[2]), np.cos(b[2] - a[2]))])
+        pts, v = undistort(cfg, log.scan(i), imu,
+                           jnp.asarray(rel, jnp.float32), t0, t1)
+        pts_all.append(np.asarray(pts))
+    _emit(
+        {"workload": "undistort", "scans": len(log) - 1,
+         "num_beams": log.num_beams},
+        args.save,
+        {"points": np.stack(pts_all)},
+    )
+
+
+def cmd_karto(args):
+    from tpuslam.core.config import KartoConfig
+    from tpuslam.models.karto import KartoMapper
+    from tpuslam.utils.timing import StepTimer
+
+    log, true = _get_log(args)
+    cfg = KartoConfig(
+        num_beams=log.num_beams,
+        use_scan_range=min(log.range_max, 12.0),
+        scan_buffer_size=20,
+        correlation_search_space_dimension=0.32,
+        correlation_search_space_resolution=0.02,
+        correlation_search_space_smear_deviation=0.04,
+        loop_search_space_dimension=4.0,
+        loop_search_space_resolution=0.1,
+        loop_search_space_smear_deviation=0.1,
+        loop_search_maximum_distance=1.5,
+        loop_match_minimum_chain_size=4,
+        loop_match_minimum_response_coarse=0.5,
+        loop_match_minimum_response_fine=0.5,
+    )
+    mapper = KartoMapper(cfg, max_scans=max(64, len(log)))
+    timer = StepTimer()
+    loops = 0
+    kept_truth = []
+    for i in range(len(log)):
+        with timer.stage("karto_process"):
+            res = mapper.process(log.scan(i), log.odom[i],
+                                 time=float(log.stamps[i]))
+        if res.processed:
+            loops += int(res.loop_closed)
+            if true is not None:
+                kept_truth.append(true[i])
+    n = len(mapper.records)
+    ate = None
+    if kept_truth:
+        kt = np.stack(kept_truth)[:n]
+        ate = float(np.sqrt(((mapper.poses[:n, :2] - kt[:, :2]) ** 2)
+                            .sum(1)).mean())
+    if args.report:
+        print(timer.report(), file=sys.stderr)
+    arrays = {"poses": mapper.poses[:n]}
+    if args.save:
+        grid = mapper.occupancy_grid()
+        if grid is not None:
+            arrays["map"] = np.asarray(grid[1])
+    _emit(
+        {"workload": "karto", "scans_processed": n,
+         "edges": len(mapper.edges), "loop_closures": loops,
+         "ate_rmse": ate},
+        args.save,
+        arrays,
+    )
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="tpuslam",
+                                 description="TPU-native 2D laser SLAM")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("synth", help="generate a synthetic scan log")
+    p.add_argument("--out", required=True)
+    _add_common(p)
+    p.set_defaults(fn=cmd_synth)
+
+    for name, fn in [
+        ("features", cmd_features),
+        ("scan-match-icp", cmd_icp),
+        ("plicp-odometry", cmd_plicp),
+        ("occupancy-map", cmd_occupancy),
+        ("hector", cmd_hector),
+        ("undistort", cmd_undistort),
+        ("karto", cmd_karto),
+    ]:
+        p = sub.add_parser(name)
+        _add_common(p)
+        p.set_defaults(fn=fn)
+
+    args = ap.parse_args(argv)
+    if not args.log and not args.synthetic and args.cmd != "synth":
+        ap.error("provide --log PATH or --synthetic")
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""Pose-graph solver backends: the reference's pluggable ScanSolver seam.
+
+The reference ships four interchangeable backends behind ``karto::ScanSolver``
+(lesson6/lib/open_karto/include/open_karto/Mapper.h:825-891): SPA2d
+(lesson6/src/spa_solver/), Ceres (ceres_solver/), g2o (g2o_solver/), and
+GTSAM (gtsam_solver/), selected by the ``solver_type`` ROS param
+(karto_slam.cc:254-284).  All four minimize the same residual; they differ
+only in iteration strategy and stopping rules.  On TPU one engine
+(graph/solver.py: matrix-free LM + block-Jacobi PCG) serves them all; this
+module keeps the plugin seam and maps each reference backend name to the
+equivalent solver configuration:
+
+- ``spa_solver``:   LM, 40 iterations (spa_solver.cc:43-61 doSPA(40)),
+- ``ceres_solver``: Gauss-Newton flavor — LM with tiny initial lambda, 50
+  max iterations (ceres_solver.cc:131-196 SPARSE_NORMAL_CHOLESKY defaults),
+- ``g2o_solver``:   GN, 40 iterations (g2o_solver.cc:42-138 optimize(40)),
+- ``gtsam_solver``: LM, up to 500 iterations (gtsam_solver.cc:30-99;
+  relativeErrorTol=1e-5).  NOTE: the reference GTSAM adapter feeds the
+  COVARIANCE where a noise model expects it and never anchors a prior — a
+  quirk we consciously fix (we anchor node 0 and use precisions), as flagged
+  in SURVEY.md §2.2.
+
+Custom backends register with :func:`register_solver`.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Protocol
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuslam.graph.solver import PoseGraph, SolveStats, empty_graph, optimize
+
+Array = jax.Array
+
+
+class ScanSolver(Protocol):
+    """The reference's ScanSolver surface (Mapper.h:825-891), array-native."""
+
+    def compute(self, graph: PoseGraph) -> tuple[Array, SolveStats]:
+        """Optimize and return (corrected poses, stats)."""
+        ...
+
+
+class LmSolver:
+    """Configurable LM/GN solver over the shared TPU engine."""
+
+    def __init__(
+        self,
+        num_iters: int = 40,
+        cg_iters: int = 60,
+        init_lambda: float = 1e-4,
+        n_fixed: int = 1,
+    ):
+        self.num_iters = num_iters
+        self.cg_iters = cg_iters
+        self.init_lambda = init_lambda
+        self.n_fixed = n_fixed
+
+    def compute(self, graph: PoseGraph) -> tuple[Array, SolveStats]:
+        return optimize(
+            graph,
+            num_iters=self.num_iters,
+            cg_iters=self.cg_iters,
+            init_lambda=self.init_lambda,
+            n_fixed=self.n_fixed,
+        )
+
+
+_REGISTRY: dict[str, Callable[[], ScanSolver]] = {
+    "spa_solver": lambda: LmSolver(num_iters=40),
+    "ceres_solver": lambda: LmSolver(num_iters=50, init_lambda=1e-8),
+    "g2o_solver": lambda: LmSolver(num_iters=40, init_lambda=1e-8),
+    "gtsam_solver": lambda: LmSolver(num_iters=500 // 8, init_lambda=1e-5),
+}
+
+
+def register_solver(name: str, factory: Callable[[], ScanSolver]) -> None:
+    _REGISTRY[name] = factory
+
+
+def make_solver(name: str) -> ScanSolver:
+    if name not in _REGISTRY:
+        raise KeyError(
+            f"unknown solver_type {name!r}; known: {sorted(_REGISTRY)}"
+        )
+    return _REGISTRY[name]()
+
+
+def graph_from_edges(
+    poses: np.ndarray,
+    edges: list[tuple[int, int, np.ndarray, np.ndarray]],
+) -> PoseGraph:
+    """Build a padded PoseGraph from host-side pose/edge lists (powers of two
+    capacities to bound recompilation)."""
+    n, e = len(poses), len(edges)
+    cap_n = 1 << max(4, (max(n, 1) - 1).bit_length())
+    cap_e = 1 << max(4, (max(e, 1) - 1).bit_length())
+    g = empty_graph(cap_n, cap_e)
+    if n == 0:
+        return g
+    g = g._replace(
+        poses=g.poses.at[:n].set(jnp.asarray(poses[:n], jnp.float32)),
+        node_mask=g.node_mask.at[:n].set(True),
+    )
+    if e == 0:
+        return g
+    return g._replace(
+        edge_i=g.edge_i.at[:e].set(
+            jnp.asarray([x[0] for x in edges], jnp.int32)
+        ),
+        edge_j=g.edge_j.at[:e].set(
+            jnp.asarray([x[1] for x in edges], jnp.int32)
+        ),
+        measurements=g.measurements.at[:e].set(
+            jnp.asarray([x[2] for x in edges], jnp.float32)
+        ),
+        precisions=g.precisions.at[:e].set(
+            jnp.asarray([x[3] for x in edges], jnp.float32)
+        ),
+        edge_mask=g.edge_mask.at[:e].set(True),
+    )

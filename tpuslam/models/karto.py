@@ -49,7 +49,6 @@ import numpy as np
 from tpuslam.core import se2
 from tpuslam.core.config import KartoConfig
 from tpuslam.core.scan import Scan, scan_to_points
-from tpuslam.graph.solver import PoseGraph, empty_graph, optimize
 from tpuslam.match.correlative import CorrelativeSpec, match_scan
 
 
@@ -96,10 +95,15 @@ class KartoMapper:
         cfg: KartoConfig,
         max_scans: int = 2048,
         loop_chain_cap: int = 128,
+        events=None,
     ):
+        """events: optional tpuslam.utils.events.EventBus — receives the
+        reference's MapperListener stream (loop_closure_check,
+        begin/end_loop_closure, poses_corrected; Mapper.cpp:2142-2218)."""
         self.cfg = cfg
         self.max_scans = max_scans
         self.loop_chain_cap = loop_chain_cap
+        self.events = events
 
         self.seq_spec = CorrelativeSpec(
             resolution=cfg.correlation_search_space_resolution,
@@ -454,6 +458,15 @@ class KartoMapper:
                 penalize=False,
                 refine=False,
             )
+            if self.events is not None:
+                self.events.fire(
+                    "loop_closure_check",
+                    scan=sid,
+                    chain_len=len(chain),
+                    coarse_response=coarse_resp,
+                    var_xx=float(cov[0, 0]),
+                    var_yy=float(cov[1, 1]),
+                )
             if (
                 coarse_resp > cfg.loop_match_minimum_response_coarse
                 and cov[0, 0] < cfg.loop_match_maximum_variance_coarse
@@ -469,40 +482,39 @@ class KartoMapper:
                     refine=True,
                 )
                 if fine_resp >= cfg.loop_match_minimum_response_fine:
+                    if self.events is not None:
+                        self.events.fire(
+                            "begin_loop_closure", scan=sid,
+                            fine_response=fine_resp,
+                        )
                     self.poses[sid] = fine
                     self._link_chain_to_scan(chain, sid, fine, fine_cov)
                     self.correct_poses()
                     closed = True
+                    if self.events is not None:
+                        self.events.fire("end_loop_closure", scan=sid)
         return closed
 
     def correct_poses(self):
-        """CorrectPoses (Mapper.cpp:1397-1414): run the solver, write back."""
+        """CorrectPoses (Mapper.cpp:1397-1414): run the configured backend
+        (cfg.solver_type, reference names: spa/ceres/g2o/gtsam_solver) and
+        write corrected poses back into every scan."""
         if not self.cfg.use_back_end or not self.edges:
             return
+        from tpuslam.graph.backends import graph_from_edges, make_solver
+
         n = self._num()
-        e = len(self.edges)
-        cap_n = 1 << max(4, (n - 1).bit_length())
-        cap_e = 1 << max(4, (e - 1).bit_length())
-        g = empty_graph(cap_n, cap_e)
-        g = g._replace(
-            poses=g.poses.at[:n].set(jnp.asarray(self.poses[:n], jnp.float32)),
-            node_mask=g.node_mask.at[:n].set(True),
-            edge_i=g.edge_i.at[:e].set(
-                jnp.asarray([x[0] for x in self.edges], jnp.int32)
-            ),
-            edge_j=g.edge_j.at[:e].set(
-                jnp.asarray([x[1] for x in self.edges], jnp.int32)
-            ),
-            measurements=g.measurements.at[:e].set(
-                jnp.asarray([x[2] for x in self.edges], jnp.float32)
-            ),
-            precisions=g.precisions.at[:e].set(
-                jnp.asarray([x[3] for x in self.edges], jnp.float32)
-            ),
-            edge_mask=g.edge_mask.at[:e].set(True),
-        )
-        poses, stats = optimize(g, num_iters=40, cg_iters=60)
+        g = graph_from_edges(self.poses[:n], self.edges)
+        poses, stats = make_solver(self.cfg.solver_type).compute(g)
         self.poses[:n] = np.asarray(poses[:n], np.float64)
+        if self.events is not None:
+            self.events.fire(
+                "poses_corrected",
+                nodes=n,
+                edges=len(self.edges),
+                initial_cost=float(stats.initial_cost),
+                final_cost=float(stats.final_cost),
+            )
 
     # --------------------------------------------------------------- output
     def occupancy_grid(self, resolution: float | None = None):
