@@ -1,0 +1,201 @@
+"""Full benchmark suite: one JSON line per metric (the driver headline lives
+in repo-root bench.py; this suite gives the complete per-kernel picture).
+
+    python benchmarks/suite.py [--quick]
+
+Metrics (all on the default accelerator):
+- hector_scan_matches_per_sec   batched 3-level GN pyramid matching
+- plicp_matches_per_sec         batched PL-ICP scan pairs
+- icp_matches_per_sec           batched point-to-point ICP scan pairs
+- correlative_matches_per_sec   karto sequential MatchScan (coarse+fine)
+- grid_cell_updates_per_sec     hector log-odds scan rasterization
+- solver_edge_updates_per_sec   pose-graph LM+PCG throughput
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def timed(fn, *args, iters=10):
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def emit(metric, value, unit, baseline=None):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(float(value), 1),
+        "unit": unit,
+        **({"vs_baseline": round(float(value) / baseline, 3)} if baseline else {}),
+    }))
+    sys.stdout.flush()
+
+
+def scan_fixtures(num_beams=512, batch=256):
+    import jax.numpy as jnp
+
+    from tpuslam.core.scan import make_scan, scan_to_points
+    from tpuslam.io.simulate import rect_room, simulate_scan
+
+    segs = rect_room(8.0, 6.0)
+    rng = np.random.default_rng(0)
+    poses = rng.uniform(-0.2, 0.2, size=(batch, 3)).astype(np.float32)
+    pts, valid = [], []
+    for p in poses:
+        r, amin, ainc = simulate_scan(segs, p, num_beams=num_beams,
+                                      max_range=20.0)
+        sc = make_scan(r, angle_min=amin, angle_increment=ainc,
+                       range_min=0.1, range_max=20.0, num_beams=num_beams)
+        pp, vv = scan_to_points(sc)
+        pts.append(pp)
+        valid.append(vv)
+    return jnp.stack(pts), jnp.stack(valid), poses
+
+
+def bench_hector(batch, iters):
+    import runpy
+    # repo-root bench.py prints the headline itself
+    runpy.run_path(
+        str(pathlib.Path(__file__).resolve().parent.parent / "bench.py"),
+        run_name="__main__",
+    )
+
+
+def bench_plicp(batch, iters):
+    import jax.numpy as jnp
+
+    from tpuslam.core.config import PlicpConfig
+    from tpuslam.match.plicp import plicp_batch
+
+    pts, valid, _ = scan_fixtures(num_beams=512, batch=batch)
+    cfg = PlicpConfig(num_beams=512)
+    ref_pts = jnp.roll(pts, 1, axis=0)
+    ref_valid = jnp.roll(valid, 1, axis=0)
+    guesses = jnp.zeros((batch, 3))
+    dt = timed(
+        lambda: plicp_batch(cfg, pts, valid, ref_pts, ref_valid, guesses),
+        iters=iters,
+    )
+    emit("plicp_matches_per_sec", batch / dt, "matches/s")
+
+
+def bench_icp(batch, iters):
+    import jax.numpy as jnp
+
+    from tpuslam.core.config import IcpConfig
+    from tpuslam.match.icp import icp_batch
+
+    pts, valid, _ = scan_fixtures(num_beams=512, batch=batch)
+    cfg = IcpConfig(num_beams=512, max_iterations=10)
+    dt = timed(
+        lambda: icp_batch(cfg, pts, valid, jnp.roll(pts, 1, 0),
+                          jnp.roll(valid, 1, 0), jnp.zeros((batch, 3))),
+        iters=iters,
+    )
+    emit("icp_matches_per_sec", batch / dt, "matches/s")
+
+
+def bench_correlative(iters):
+    import jax.numpy as jnp
+
+    from tpuslam.core import se2
+    from tpuslam.match.correlative import CorrelativeSpec, match_scan
+
+    spec = CorrelativeSpec(resolution=0.01, search_dim=0.3,
+                           smear_deviation=0.03, range_threshold=12.0)
+    pts, valid, _ = scan_fixtures(num_beams=512, batch=1)
+    pts, valid = pts[0], valid[0]
+    wpts = se2.transform_points(jnp.zeros(3), pts)
+
+    def one():
+        return match_scan(spec, jnp.zeros(3), pts, valid, wpts[None],
+                          valid[None]).pose
+
+    dt = timed(one, iters=iters)
+    emit("correlative_matches_per_sec", 1.0 / dt, "matches/s")
+
+
+def bench_grid(batch, iters):
+    import jax
+    import jax.numpy as jnp
+
+    from tpuslam.core.config import HectorConfig
+    from tpuslam.core.grid import GridSpec
+    from tpuslam.ops.logodds import update_grid
+
+    spec = GridSpec.centered(0.05, 1024)
+    pts, valid, poses = scan_fixtures(num_beams=512, batch=batch)
+    lo = jnp.zeros(spec.shape)
+    jposes = jnp.asarray(poses)
+
+    @jax.jit
+    def run(lo):
+        def body(lo, inp):
+            p, v, ps = inp
+            from tpuslam.core import se2
+
+            wpts = se2.transform_points(ps, p)
+            return update_grid(
+                spec, lo, spec.world_to_map(ps[:2]), spec.world_to_map(wpts),
+                v, max_steps=512, update_free=0.4, update_occ=0.9,
+            ), None
+
+        lo, _ = jax.lax.scan(body, lo, (pts, valid, jposes))
+        return lo
+
+    dt = timed(run, lo, iters=iters)
+    cells = batch * 512 * 120  # ~120 free cells per 6 m beam at 5 cm
+    emit("grid_cell_updates_per_sec", cells / dt, "cells/s (approx)")
+
+
+def bench_solver(iters):
+    import jax.numpy as jnp
+
+    from tpuslam.graph.backends import graph_from_edges
+    from tpuslam.graph.solver import optimize
+
+    rng = np.random.default_rng(0)
+    n = 1024
+    poses = np.cumsum(rng.normal(0, 0.1, (n, 3)), axis=0).astype(np.float32)
+    prec = np.eye(3) * 50
+    edges = [(i, i + 1, np.array([0.1, 0, 0]), prec) for i in range(n - 1)]
+    edges += [(i, i + 50, np.array([5.0, 0, 0]), prec)
+              for i in range(0, n - 50, 97)]
+    g = graph_from_edges(poses, edges)
+    dt = timed(lambda: optimize(g, num_iters=20, cg_iters=40)[0], iters=iters)
+    emit("solver_edge_updates_per_sec", len(edges) * 20 / dt, "edge-iters/s")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    batch = 256 if args.quick else 1024
+    iters = 3 if args.quick else 10
+
+    bench_hector(batch, iters)
+    bench_plicp(batch, iters)
+    bench_icp(batch, iters)
+    bench_correlative(iters)
+    bench_grid(64 if args.quick else 256, iters)
+    bench_solver(iters)
+
+
+if __name__ == "__main__":
+    main()

@@ -245,21 +245,64 @@ def _correlate(
         jnp.int32
     )  # [nY] (same offsets both axes, as in the reference)
 
-    # response per angle, serialized over the angle axis so the intermediate
-    # stays [nY, nX, B] (the loop matcher's lattice would not fit otherwise)
+    # Response via PATCH ACCUMULATION instead of per-candidate gathers (TPU
+    # random gathers from an HBM-resident grid run ~100x below DMA rate):
+    # for each (angle, point) take one contiguous [S, S] slice of the grid
+    # centered at the point's base cell and SUM over points — the summed
+    # patch IS the response surface over every integer (y, x) shift, from
+    # which the candidate lattice is read out.  Identical numerics; points
+    # whose whole patch leaves the grid are dropped (the reference's margin
+    # sizing guarantees in-range points never do, Mapper.cpp:150-156).
     denom = jnp.maximum(jnp.sum(valid), 1).astype(jnp.float32)
-    gflat = grid.reshape(-1)
+    base_x = jnp.floor((center_pose[0] - origin[0]) / res + 0.5).astype(
+        jnp.int32
+    )
+    base_y = jnp.floor((center_pose[1] - origin[1]) / res + 0.5).astype(
+        jnp.int32
+    )
+    half = int(round(float(np.max(np.abs(xy_offsets))) / res)) + 1
+    size = 2 * half + 1
 
-    def one_angle(off):
-        ox_a, oy_a = off  # [B]
-        cx = cand_x[None, :, None] + ox_a[None, None, :]  # [nY, nX, B]
-        cy = cand_y[:, None, None] + oy_a[None, None, :]
-        inb = (cx >= 0) & (cx < g) & (cy >= 0) & (cy < g) & valid[None, None, :]
-        flat = jnp.where(inb, cy * g + cx, 0)
-        vals = jnp.where(inb, jnp.take(gflat, flat), 0.0)
-        return jnp.sum(vals, axis=-1) / denom  # [nY, nX]
+    n_angles = oy.shape[0]
+    b = local_pts.shape[0]
 
-    resp = jax.lax.map(one_angle, (ox, oy))  # [nA, nY, nX]
+    def slice_sum(oy_f, ox_f, valid_f):
+        """Masked sum of [S, S] grid slices for a flat batch of anchors."""
+        ay = base_y + oy_f - half
+        ax = base_x + ox_f - half
+        ok = valid_f & (ay >= 0) & (ax >= 0) & (ay + size <= g) & (
+            ax + size <= g
+        )
+        ayc = jnp.clip(ay, 0, g - size)
+        axc = jnp.clip(ax, 0, g - size)
+        sl = jax.vmap(
+            lambda yy, xx: jax.lax.dynamic_slice(grid, (yy, xx), (size, size))
+        )(ayc, axc)
+        return ok, sl
+
+    # one big batched slice-gather when the intermediate fits comfortably;
+    # per-angle otherwise (the 15 m loop matcher's S≈300 patches are large)
+    if n_angles * b * size * size * 4 <= 256 * 1024 * 1024:
+        ok, sl = slice_sum(
+            oy.reshape(-1), ox.reshape(-1), jnp.tile(valid, (n_angles,))
+        )
+        w = ok.astype(grid.dtype).reshape(n_angles, b)
+        patches = jnp.einsum(
+            "ap,apij->aij", w, sl.reshape(n_angles, b, size, size)
+        )
+    else:
+
+        def one_angle(off):
+            oy_a, ox_a = off
+            ok, sl = slice_sum(oy_a, ox_a, valid)
+            return jnp.einsum("p,pij->ij", ok.astype(grid.dtype), sl)
+
+        patches = jax.lax.map(one_angle, (oy, ox))  # [nA, S, S]
+
+    # read the candidate lattice out of the response surfaces
+    dyc = half + (cand_y - base_y)  # [nY] indices into the patch
+    dxc = half + (cand_x - base_x)
+    resp = patches[:, dyc[:, None], dxc[None, :]] / denom  # [nA, nY, nX]
     resp = jnp.moveaxis(resp, 0, -1)  # [nY, nX, nA]
 
     if penalize:
@@ -395,19 +438,32 @@ def match_scan(
 
     if spec.use_response_expansion:
         # retry ±20/40/60 deg wider angle windows while response == 0
-        for extra in (math.radians(20), math.radians(40), math.radians(60)):
-            angs = spec.coarse_angles(extra)
-            resp_e, best_e, mean_e = _correlate(
-                spec, grid, grid_center, center_pose, local_pts, valid, cxy,
-                angs, penalize
-            )
-            cov_e = _positional_covariance(
-                spec, resp_e, best_e, mean_e, center_pose, cxy
-            )
-            use = best == 0.0
-            best = jnp.where(use, best_e, best)
-            mean = jnp.where(use, mean_e, mean)
-            cov_pos = jnp.where(use, cov_e, cov_pos)
+        # (Mapper.cpp:242-272); under lax.cond so the common matched case
+        # pays nothing for the three extra sweeps
+        def expand(args):
+            best_e, mean_e, cov_e = args
+            for extra in (
+                math.radians(20),
+                math.radians(40),
+                math.radians(60),
+            ):
+                angs = spec.coarse_angles(extra)
+                resp_x, best_x, mean_x = _correlate(
+                    spec, grid, grid_center, center_pose, local_pts, valid,
+                    cxy, angs, penalize
+                )
+                cov_x = _positional_covariance(
+                    spec, resp_x, best_x, mean_x, center_pose, cxy
+                )
+                use = best_e == 0.0
+                best_e = jnp.where(use, best_x, best_e)
+                mean_e = jnp.where(use, mean_x, mean_e)
+                cov_e = jnp.where(use, cov_x, cov_e)
+            return best_e, mean_e, cov_e
+
+        best, mean, cov_pos = jax.lax.cond(
+            best == 0.0, expand, lambda args: args, (best, mean, cov_pos)
+        )
 
     if refine:
         fxy = spec.fine_xy()
