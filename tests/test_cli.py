@@ -80,3 +80,11 @@ def test_karto_cmd():
                 "--num-beams", "180")
     assert r["scans_processed"] > 5
     assert r["ate_rmse"] is not None and r["ate_rmse"] < 0.15
+
+
+def test_scan_info_cmd():
+    r = run_cli("scan-info", "--synthetic", "--num-scans", "5",
+                "--num-beams", "90")
+    assert r["workload"] == "scan_info"
+    assert r["scans"] == 5 and r["num_beams"] == 90
+    assert r["mean_valid_beams"] > 0 and r["mean_range"] > 0

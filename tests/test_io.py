@@ -118,5 +118,5 @@ def test_checkpoint_karto_roundtrip(tmp_path):
     assert len(m2.records) == len(m.records)
     assert np.allclose(m2.poses[:3], m.poses[:3])
     assert m2.edges[0][0] == m.edges[0][0]
-    assert m2.running == m.running
-    assert m2.last_scan_id == m.last_scan_id
+    assert m2.running_by_sensor == m.running_by_sensor
+    assert m2.last_by_sensor == m.last_by_sensor

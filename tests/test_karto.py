@@ -119,3 +119,31 @@ def test_occupancy_grid_export():
     mx = round((2.0 - 0.7 - spec.origin_x) / spec.resolution)
     my = round((1.5 - spec.origin_y) / spec.resolution)
     assert (img[my - 2 : my + 3, mx - 2 : mx + 3] == 100).any()
+
+
+def test_multi_sensor_mapping():
+    """Two lasers feeding one mapper: per-sensor windows + cross-sensor
+    first-scan link (Mapper.cpp:923-953)."""
+    m = KartoMapper(CFG, max_scans=32)
+    rng = np.random.default_rng(9)
+    for i in range(5):
+        p = np.array([0.25 * i, 0.0, 0.0])
+        r = m.process(scan_at(p), p, time=float(i), sensor="front")
+        assert r.processed
+        q = np.array([0.25 * i, 0.3, 0.1])
+        r2 = m.process(scan_at(q), q, time=float(i) + 0.5, sensor="rear")
+        assert r2.processed
+    assert set(m.sensor_scans) == {"front", "rear"}
+    assert len(m.sensor_scans["front"]) == 5
+    assert len(m.sensor_scans["rear"]) == 5
+    # cross-sensor link: rear's first scan connected to front's first scan
+    rear0 = m.sensor_scans["rear"][0]
+    front0 = m.sensor_scans["front"][0]
+    assert any(
+        {e[0], e[1]} == {front0, rear0} for e in m.edges
+    ), m.edges
+    # both sensors' poses tracked near truth
+    for sname, ys in [("front", 0.0), ("rear", 0.3)]:
+        ids = m.sensor_scans[sname]
+        errs = [abs(m.poses[s][1] - ys) for s in ids]
+        assert max(errs) < 0.1, (sname, errs)

@@ -45,9 +45,17 @@ def load_pytree(path: str | os.PathLike, like):
 
 
 def save_karto(path: str | os.PathLike, mapper) -> None:
-    """Checkpoint a models.karto.KartoMapper (scans, poses, edges, window)."""
+    """Checkpoint a models.karto.KartoMapper (scans, poses, edges, windows)."""
     n = len(mapper.records)
     e = len(mapper.edges)
+    meta = {
+        "sensors": [r.sensor for r in mapper.records],
+        "sensor_scans": {k: v for k, v in mapper.sensor_scans.items()},
+        "running_by_sensor": {
+            k: v for k, v in mapper.running_by_sensor.items()
+        },
+        "last_by_sensor": {k: int(v) for k, v in mapper.last_by_sensor.items()},
+    }
     np.savez_compressed(
         path,
         pts=np.asarray(mapper._pts[:n]),
@@ -60,7 +68,6 @@ def save_karto(path: str | os.PathLike, mapper) -> None:
         mean_local=np.stack([r.mean_local for r in mapper.records])
         if n
         else np.zeros((0, 2)),
-        running=np.array(mapper.running, np.int32),
         edge_i=np.array([x[0] for x in mapper.edges], np.int32),
         edge_j=np.array([x[1] for x in mapper.edges], np.int32),
         edge_meas=np.stack([x[2] for x in mapper.edges])
@@ -69,9 +76,7 @@ def save_karto(path: str | os.PathLike, mapper) -> None:
         edge_prec=np.stack([x[3] for x in mapper.edges])
         if e
         else np.zeros((0, 3, 3)),
-        last_scan_id=np.int64(
-            -1 if mapper.last_scan_id is None else mapper.last_scan_id
-        ),
+        meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
     )
 
 
@@ -84,14 +89,24 @@ def load_karto(path: str | os.PathLike, mapper) -> None:
     n = z["poses"].shape[0]
     if n > mapper.max_scans:
         raise ValueError("checkpoint larger than mapper capacity")
+    meta = json.loads(bytes(z["meta"]).decode())
     mapper._pts = mapper._pts.at[:n].set(jnp.asarray(z["pts"]))
     mapper._valid = mapper._valid.at[:n].set(jnp.asarray(z["valid"]))
     mapper.poses[:n] = z["poses"]
     mapper.records = [
-        _ScanRecord(i, z["odom"][i], float(z["times"][i]), z["mean_local"][i])
+        _ScanRecord(i, z["odom"][i], float(z["times"][i]), z["mean_local"][i],
+                    meta["sensors"][i])
         for i in range(n)
     ]
-    mapper.running = [int(x) for x in z["running"]]
+    mapper.sensor_scans = {
+        k: [int(x) for x in v] for k, v in meta["sensor_scans"].items()
+    }
+    mapper.running_by_sensor = {
+        k: [int(x) for x in v] for k, v in meta["running_by_sensor"].items()
+    }
+    mapper.last_by_sensor = {
+        k: int(v) for k, v in meta["last_by_sensor"].items()
+    }
     mapper.edges = [
         (int(z["edge_i"][k]), int(z["edge_j"][k]), z["edge_meas"][k],
          z["edge_prec"][k])
@@ -101,5 +116,3 @@ def load_karto(path: str | os.PathLike, mapper) -> None:
     for i, j, _, _ in mapper.edges:
         mapper.adj.setdefault(i, set()).add(j)
         mapper.adj.setdefault(j, set()).add(i)
-    lid = int(z["last_scan_id"])
-    mapper.last_scan_id = None if lid < 0 else lid

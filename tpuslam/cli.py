@@ -92,6 +92,30 @@ def cmd_synth(args):
                       "beams": log.num_beams}))
 
 
+def cmd_scan_info(args):
+    """Lesson1 laser_scan_node parity: print scan metadata + per-scan stats
+    (reference: lesson1/src/laser_scan_node.cc:49-74 prints angle range,
+    increments, counts, and sampled ranges)."""
+    log, _ = _get_log(args)
+    finite = np.isfinite(log.ranges) & (log.ranges > 0)
+    _emit(
+        {
+            "workload": "scan_info",
+            "scans": len(log),
+            "num_beams": log.num_beams,
+            "angle_min": log.angle_min,
+            "angle_increment": log.angle_increment,
+            "range_min": log.range_min,
+            "range_max": log.range_max,
+            "time_increment": log.time_increment,
+            "mean_valid_beams": float(finite.sum(1).mean()),
+            "mean_range": float(log.ranges[finite].mean()),
+            "duration_s": float(log.stamps[-1] - log.stamps[0]),
+        },
+        args.save,
+    )
+
+
 def cmd_features(args):
     from tpuslam.core.config import FeatureConfig
     from tpuslam.ops.features import extract_features
@@ -333,6 +357,7 @@ def main(argv=None):
     p.set_defaults(fn=cmd_synth)
 
     for name, fn in [
+        ("scan-info", cmd_scan_info),
         ("features", cmd_features),
         ("scan-match-icp", cmd_icp),
         ("plicp-odometry", cmd_plicp),

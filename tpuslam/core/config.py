@@ -226,3 +226,43 @@ def outdoor_karto_config() -> KartoConfig:
         minimum_distance_penalty=0.5,
         use_response_expansion=True,
     )
+
+
+_CONFIG_TYPES = {
+    "features": FeatureConfig,
+    "icp": IcpConfig,
+    "plicp": PlicpConfig,
+    "gmapping": GmappingConfig,
+    "hector": HectorConfig,
+    "undistort": UndistortConfig,
+    "karto": KartoConfig,
+}
+
+
+def from_dict(kind: str, params: dict):
+    """Build a config from a plain dict of the reference's parameter names.
+
+    Unknown keys raise (catching typos in ported YAML); the reference's
+    ROS-param reader silently defaulted, but silent typos are exactly how
+    SLAM configs go wrong.  ``kind`` is one of: features, icp, plicp,
+    gmapping, hector, undistort, karto.
+    """
+    cls = _CONFIG_TYPES[kind]
+    fields = {f.name for f in dataclasses.fields(cls)}
+    unknown = set(params) - fields
+    if unknown:
+        raise KeyError(
+            f"unknown {kind} parameters {sorted(unknown)}; "
+            f"known: {sorted(fields)}"
+        )
+    return cls(**params)
+
+
+def from_yaml(kind: str, path):
+    """Load a config from a YAML file of reference-named parameters
+    (the lesson*/config/*.yaml format, flattened)."""
+    import yaml
+
+    with open(path) as f:
+        data = yaml.safe_load(f) or {}
+    return from_dict(kind, data)

@@ -85,6 +85,7 @@ class _ScanRecord:
     odom_pose: np.ndarray
     time: float
     mean_local: np.ndarray  # [2] mean of valid local points (for barycenter)
+    sensor: str = "laser0"
 
 
 class KartoMapper:
@@ -138,13 +139,16 @@ class KartoMapper:
         # device-side scan store (local sensor-frame points, fixed capacity)
         self._pts = jnp.zeros((max_scans, b, 2), jnp.float32)
         self._valid = jnp.zeros((max_scans, b), bool)
-        # host-side metadata
+        # host-side metadata; scan ids are global, windows are per sensor
+        # (the reference's MapperSensorManager keys everything by sensor
+        # name, karto_slam.cc:327-405 supports one device per laser frame)
         self.records: list[_ScanRecord] = []
         self.poses = np.zeros((max_scans, 3))  # corrected sensor poses
-        self.running: list[int] = []  # running-scan window (state ids)
+        self.sensor_scans: dict[str, list[int]] = {}
+        self.running_by_sensor: dict[str, list[int]] = {}
         self.edges: list[tuple[int, int, np.ndarray, np.ndarray]] = []
         self.adj: dict[int, set[int]] = {}
-        self.last_scan_id: int | None = None
+        self.last_by_sensor: dict[str, int] = {}
 
     # ------------------------------------------------------------- helpers
     def _num(self) -> int:
@@ -261,9 +265,12 @@ class KartoMapper:
             if ns == sid or ns in processed:
                 continue
             processed.add(ns)
+            seq = self.sensor_scans[self.records[ns].sensor]
+            pos = seq.index(ns)
             chain = [ns]
             valid = True
-            for cand in range(ns - 1, -1, -1):
+            for k in range(pos - 1, -1, -1):
+                cand = seq[k]
                 if cand == sid:
                     valid = False
                 if float(np.sum((self._barycenter(cand) - ref) ** 2)) < maxd2:
@@ -271,7 +278,8 @@ class KartoMapper:
                     processed.add(cand)
                 else:
                     break
-            for cand in range(ns + 1, self._num()):
+            for k in range(pos + 1, len(seq)):
+                cand = seq[k]
                 if cand == sid:
                     valid = False
                 if float(np.sum((self._barycenter(cand) - ref) ** 2)) < maxd2:
@@ -298,20 +306,23 @@ class KartoMapper:
 
     # ------------------------------------------------------------- process
     def process(
-        self, scan: Scan, odom_pose, time: float = 0.0
+        self, scan: Scan, odom_pose, time: float = 0.0,
+        sensor: str = "laser0",
     ) -> ProcessResult:
         odom_pose = np.asarray(odom_pose, np.float64)
         cfg = self.cfg
+        last_id = self.last_by_sensor.get(sensor)
+        running = self.running_by_sensor.setdefault(sensor, [])
 
         if self._num() >= self.max_scans:
             return ProcessResult(False, odom_pose, 0.0, False)
 
         # 1. carry forward last correction (Mapper.cpp:2021-2025)
-        if self.last_scan_id is not None:
-            last = self.records[self.last_scan_id]
+        if last_id is not None:
+            last = self.records[last_id]
             corrected = _np_compose(
                 _np_compose(
-                    self.poses[self.last_scan_id], _np_inverse(last.odom_pose)
+                    self.poses[last_id], _np_inverse(last.odom_pose)
                 ),
                 odom_pose,
             )
@@ -319,8 +330,8 @@ class KartoMapper:
             corrected = odom_pose.copy()
 
         # 2. HasMovedEnough (Mapper.cpp:2087-2120) on ODOMETRIC poses
-        if self.last_scan_id is not None:
-            last = self.records[self.last_scan_id]
+        if last_id is not None:
+            last = self.records[last_id]
             dt = time - last.time
             dh = abs(
                 math.atan2(
@@ -349,15 +360,16 @@ class KartoMapper:
             / jnp.maximum(jnp.sum(valid), 1)
         )
 
-        # 3. sequential match against running scans (Mapper.cpp:2037-2045)
+        # 3. sequential match against this sensor's running scans
+        #    (Mapper.cpp:2037-2045)
         response = 1.0
         cov = np.eye(3)
-        if cfg.use_scan_matching and self.last_scan_id is not None:
+        if cfg.use_scan_matching and last_id is not None:
             best, response, cov = self._match(
                 self.seq_spec,
                 sid,
                 corrected,
-                self.running,
+                running,
                 cfg.scan_buffer_size,
                 penalize=True,
                 refine=True,
@@ -366,18 +378,38 @@ class KartoMapper:
 
         self.poses[sid] = corrected
         self.records.append(
-            _ScanRecord(sid, odom_pose, time, mean_local)
+            _ScanRecord(sid, odom_pose, time, mean_local, sensor)
         )
+        self.sensor_scans.setdefault(sensor, []).append(sid)
 
         loop_closed = False
         if cfg.use_scan_matching:
             # 4. edges (AddEdges, Mapper.cpp:902-973)
             means, covs = [], []
-            if self.last_scan_id is not None:
-                self._add_edge(sid - 1, sid, corrected, cov)
+            if last_id is not None:
+                self._add_edge(last_id, sid, corrected, cov)
                 means.append(corrected.copy())
                 covs.append(cov)
-                self._link_chain_to_scan(self.running, sid, corrected, cov)
+                self._link_chain_to_scan(running, sid, corrected, cov)
+            else:
+                # first scan of this sensor: link to the first scan of every
+                # OTHER sensor via a sequential match (Mapper.cpp:923-953)
+                for other, oscans in self.sensor_scans.items():
+                    if other == sensor or not oscans or oscans == [sid]:
+                        continue
+                    mean_o, resp_o, cov_o = self._match(
+                        self.seq_spec,
+                        sid,
+                        self.poses[sid],
+                        [x for x in oscans if x != sid],
+                        cfg.scan_buffer_size,
+                        penalize=True,
+                        refine=True,
+                    )
+                    self._add_edge(oscans[0], sid, mean_o, cov_o)
+                    if resp_o > cfg.link_match_minimum_response_fine:
+                        means.append(mean_o)
+                        covs.append(cov_o)
 
                 # near chains
                 for chain in self._find_near_chains(sid):
@@ -400,37 +432,42 @@ class KartoMapper:
                     self.poses[sid] = self._weighted_mean(means, covs)
 
             # 5. running window maintenance (Mapper.h:1356-1385)
-            self.running.append(sid)
-            while len(self.running) > cfg.scan_buffer_size:
-                self.running.pop(0)
-            while self.running and (
+            running.append(sid)
+            while len(running) > cfg.scan_buffer_size:
+                running.pop(0)
+            while running and (
                 np.sum(
                     (
-                        self._barycenter(self.running[0])
-                        - self._barycenter(self.running[-1])
+                        self._barycenter(running[0])
+                        - self._barycenter(running[-1])
                     )
                     ** 2
                 )
                 > cfg.scan_buffer_maximum_scan_distance**2
             ):
-                self.running.pop(0)
+                running.pop(0)
 
-            # 6. loop closure
+            # 6. loop closure, against every sensor's history
+            # (Mapper::Process loops device names, Mapper.cpp:2063-2070)
             if cfg.do_loop_closing:
-                loop_closed = self._try_close_loop(sid)
+                for sname in self.sensor_scans:
+                    loop_closed |= self._try_close_loop(sid, sname)
 
-        self.last_scan_id = sid
+        self.last_by_sensor[sensor] = sid
         return ProcessResult(True, self.poses[sid].copy(), response, loop_closed)
 
     # --------------------------------------------------------- loop closure
-    def _find_possible_loop_chains(self, sid: int) -> list[list[int]]:
-        """FindPossibleLoopClosure (Mapper.cpp:1333-1394), all chains."""
+    def _find_possible_loop_chains(
+        self, sid: int, sensor: str
+    ) -> list[list[int]]:
+        """FindPossibleLoopClosure (Mapper.cpp:1333-1394), all chains of the
+        given sensor's scan history."""
         cfg = self.cfg
         ref = self._barycenter(sid)
         near = self._find_near_linked(sid, cfg.loop_search_maximum_distance)
         chains = []
         chain: list[int] = []
-        for cand in range(self._num() - 1):  # old scans only
+        for cand in [x for x in self.sensor_scans.get(sensor, []) if x != sid]:
             d2 = float(np.sum((self._barycenter(cand) - ref) ** 2))
             if d2 < cfg.loop_search_maximum_distance**2 + 1e-9:
                 if cand in near:
@@ -445,10 +482,10 @@ class KartoMapper:
             chains.append(chain)
         return chains
 
-    def _try_close_loop(self, sid: int) -> bool:
+    def _try_close_loop(self, sid: int, sensor: str) -> bool:
         cfg = self.cfg
         closed = False
-        for chain in self._find_possible_loop_chains(sid):
+        for chain in self._find_possible_loop_chains(sid, sensor):
             best, coarse_resp, cov = self._match(
                 self.loop_spec,
                 sid,
