@@ -88,3 +88,19 @@ def test_scan_info_cmd():
     assert r["workload"] == "scan_info"
     assert r["scans"] == 5 and r["num_beams"] == 90
     assert r["mean_valid_beams"] > 0 and r["mean_range"] > 0
+
+
+def test_pointcloud_cmd(tmp_path):
+    save = tmp_path / "pc.npz"
+    r = run_cli("pointcloud", "--synthetic", "--num-scans", "3",
+                "--num-beams", "60", "--save", str(save))
+    assert r["mean_valid"] > 0
+    z = np.load(save)
+    assert z["points"].shape == (3, 60, 2)
+
+
+def test_hector_png(tmp_path):
+    png = tmp_path / "m.png"
+    run_cli("hector", "--synthetic", "--num-scans", "6", "--num-beams", "180",
+            "--poses-per-rev", "120", "--png", str(png))
+    assert png.exists() and png.stat().st_size > 5000

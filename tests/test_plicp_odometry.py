@@ -80,3 +80,20 @@ def test_lesson2_frame_to_frame():
     # direction: last onto current = b⁻¹ ∘ a
     want = np.asarray(se2.relative(jnp.asarray(pb, jnp.float32), jnp.zeros(3)))
     assert np.allclose(np.asarray(res1.pose), want, atol=0.02)
+
+
+def test_lesson3_frame_to_frame_plicp():
+    from tpuslam.models import scan_match_plicp
+
+    cfg = PlicpConfig(num_beams=360)
+    st = scan_match_plicp.init_state(cfg)
+    pa = np.zeros(3)
+    pb = np.array([0.07, -0.04, 0.05])
+    st, r0 = scan_match_plicp.step(cfg, st, scan_at(pa))
+    assert not bool(r0.valid)  # first frame: nothing to match
+    st, r1 = scan_match_plicp.step(cfg, st, scan_at(pb))
+    assert bool(r1.valid)
+    import tpuslam.core.se2 as se2
+
+    want = np.asarray(se2.relative(jnp.zeros(3), jnp.asarray(pb, jnp.float32)))
+    assert np.allclose(np.asarray(r1.pose), want, atol=0.02)

@@ -4,11 +4,13 @@ Replaces the reference's roslaunch entry points (SURVEY.md §1 L5 layer:
 lesson*/launch/*.launch + rosbag playback) with ``python -m tpuslam.cli``:
 
     synth            generate a synthetic scan log (.tslg / .npz)
+    scan-info        lesson1: scan stream metadata/statistics
     features         lesson1: curvature corner extraction
+    pointcloud       lesson2: scan→point-cloud conversion dump
     scan-match-icp   lesson2: frame-to-frame ICP
     plicp-odometry   lesson3: PL-ICP keyframe odometry
     occupancy-map    lesson4: gmapping-style hit/visit map from posed scans
-    hector           lesson4: hector SLAM
+    hector           lesson4: hector SLAM (--png renders map+trajectory)
     undistort        lesson5: IMU/odom motion-distortion correction
     karto            lesson6: correlative frontend + loop closure + solver
 
@@ -45,6 +47,7 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--num-beams", type=int, default=360)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save", help="write outputs (npz)")
+    p.add_argument("--png", help="render map/trajectory PNG (rviz analog)")
     p.add_argument("--report", action="store_true",
                    help="print per-stage timing report to stderr")
 
@@ -113,6 +116,25 @@ def cmd_scan_info(args):
             "duration_s": float(log.stamps[-1] - log.stamps[0]),
         },
         args.save,
+    )
+
+
+def cmd_pointcloud(args):
+    """Lesson2 scan→cloud converter parity (scan_to_pointclod2_converter.cc:
+    52-81): polar→cartesian with validity gating, dumped as npz."""
+    from tpuslam.core.scan import scan_to_points
+
+    log, _ = _get_log(args)
+    pts_all, valid_all = [], []
+    for i in range(len(log)):
+        pts, valid = scan_to_points(log.scan(i))
+        pts_all.append(np.asarray(pts))
+        valid_all.append(np.asarray(valid))
+    _emit(
+        {"workload": "pointcloud", "scans": len(log),
+         "mean_valid": float(np.stack(valid_all).sum(1).mean())},
+        args.save,
+        {"points": np.stack(pts_all), "valid": np.stack(valid_all)},
     )
 
 
@@ -250,13 +272,21 @@ def cmd_hector(args):
     poses = np.stack(poses)
     if args.report:
         print(timer.report(), file=sys.stderr)
+    img = np.asarray(hector_slam.occupancy_image(st))
+    if args.png:
+        from tpuslam.models.hector_slam import make_specs
+        from tpuslam.utils.viz import render_map
+
+        spec = make_specs(cfg)[0]
+        render_map(args.png, img, resolution=spec.resolution,
+                   origin=(spec.origin_x, spec.origin_y), trajectory=poses,
+                   title="hector")
     _emit(
         {"workload": "hector", "scans": len(log),
          "ate_rmse": _ate(poses, true),
          "map_updates": int(st.num_updates)},
         args.save,
-        {"poses": poses,
-         "map": np.asarray(hector_slam.occupancy_image(st))},
+        {"poses": poses, "map": img},
     )
 
 
@@ -333,10 +363,19 @@ def cmd_karto(args):
     if args.report:
         print(timer.report(), file=sys.stderr)
     arrays = {"poses": mapper.poses[:n]}
-    if args.save:
+    if args.save or args.png:
         grid = mapper.occupancy_grid()
         if grid is not None:
             arrays["map"] = np.asarray(grid[1])
+            if args.png:
+                from tpuslam.utils.viz import karto_graph_segments, render_map
+
+                render_map(
+                    args.png, arrays["map"], resolution=grid[0].resolution,
+                    origin=(grid[0].origin_x, grid[0].origin_y),
+                    trajectory=mapper.poses[:n],
+                    graph_edges=karto_graph_segments(mapper), title="karto",
+                )
     _emit(
         {"workload": "karto", "scans_processed": n,
          "edges": len(mapper.edges), "loop_closures": loops,
@@ -358,6 +397,7 @@ def main(argv=None):
 
     for name, fn in [
         ("scan-info", cmd_scan_info),
+        ("pointcloud", cmd_pointcloud),
         ("features", cmd_features),
         ("scan-match-icp", cmd_icp),
         ("plicp-odometry", cmd_plicp),

@@ -104,7 +104,7 @@ class HectorConfig:
     """Lesson4 hector SLAM (hector_slam.cc:119-160 param block)."""
 
     map_resolution: float = 0.05  # hector_slam.cc:138
-    map_size: int = 1024  # ref default 2048; 1024 keeps tests/bench light
+    map_size: int = 2048  # hector_slam.cc:139 default
     map_start_x: float = 0.5
     map_start_y: float = 0.5
     map_multi_res_levels: int = 3  # hector_slam.cc:142
