@@ -125,3 +125,26 @@ def test_run_trajectory_scan_fold():
     final, out_poses = hector_slam.run_trajectory(CFG, st, batched)
     assert out_poses.shape == (8, 3)
     assert int(final.num_updates) >= 1
+
+
+def test_match_pyramid_batched_impls_agree():
+    from tpuslam.match.hector import match_pyramid_batched
+    from tpuslam.ops.bilinear import prob_from_log_odds
+
+    st = build_map([np.array([0.0, 0.0, 0.0]), np.array([0.3, 0.2, 0.3])])
+    specs = hector_slam.make_specs(CFG)
+    grids = tuple(prob_from_log_odds(lo) for lo in st.log_odds)
+    from tpuslam.core.scan import scan_to_points
+
+    scans = [scan_at(np.array([0.05 * i, -0.03 * i, 0.02 * i]))
+             for i in range(4)]
+    pts = jnp.stack([scan_to_points(s)[0] for s in scans])
+    valid = jnp.stack([scan_to_points(s)[1] for s in scans])
+    guesses = jnp.asarray(
+        [[0.05 * i + 0.04, -0.03 * i - 0.03, 0.02 * i + 0.02]
+         for i in range(4)], jnp.float32)
+    a = match_pyramid_batched(specs, grids, pts, valid, guesses,
+                              max_point_range=12.0, impl="mxu")
+    b = match_pyramid_batched(specs, grids, pts, valid, guesses,
+                              max_point_range=12.0, impl="gather")
+    assert np.allclose(np.asarray(a.pose), np.asarray(b.pose), atol=2e-3)

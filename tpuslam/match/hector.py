@@ -222,3 +222,77 @@ def match_pyramid(
         )
         pose = spec.map_pose_to_world(pose_map)
     return MatchResult(pose=pose, hessian=hessian, score=score)
+
+
+def match_pyramid_batched(
+    specs: Sequence[GridSpec],
+    prob_grids: Sequence[Array],
+    pts_base: Array,  # [S, B, 2] meters, sensor frame
+    valid: Array,  # [S, B]
+    poses_world: Array,  # [S, 3]
+    *,
+    iterations_finest: int = 5,
+    iterations_coarse: int = 3,
+    yaw_clamp: float = 0.2,
+    max_point_range: float | None = None,
+    compute_dtype=jnp.float32,
+    impl: str = "mxu",
+) -> MatchResult:
+    """Whole-batch coarse-to-fine matching.
+
+    impl="pallas" routes the FINEST level through the fused TPU kernel
+    (ops/pallas_hector.py: crop resident in VMEM across the GN iterations —
+    where the crop re-fetch dominates) and the coarse levels through the XLA
+    MXU path (their alignment-padded windows would negate the kernel's win);
+    "mxu"/"gather" vmap the per-scan ``match_pyramid`` throughout.
+    """
+    if impl != "pallas":
+        fn = jax.vmap(
+            lambda p, v, g: match_pyramid(
+                specs, prob_grids, p, v, g,
+                iterations_finest=iterations_finest,
+                iterations_coarse=iterations_coarse,
+                yaw_clamp=yaw_clamp,
+                max_point_range=(
+                    max_point_range if impl == "mxu" else None
+                ),
+                compute_dtype=compute_dtype,
+            )
+        )
+        return fn(pts_base, valid, poses_world)
+
+    from tpuslam.ops.mxu_interp import round_up
+    from tpuslam.ops.pallas_hector import match_level_pallas
+
+    if max_point_range is None:
+        raise ValueError("impl='pallas' requires max_point_range")
+    n_levels = len(specs)
+    poses = poses_world
+    hess = jnp.tile(jnp.eye(3, dtype=poses.dtype), (poses.shape[0], 1, 1))
+    scores = jnp.zeros((poses.shape[0],), poses.dtype)
+    for lvl in range(n_levels - 1, -1, -1):
+        spec = specs[lvl]
+        pts_map = pts_base / spec.resolution
+        poses_map = spec.world_pose_to_map(poses)
+        iters = iterations_finest if lvl == 0 else iterations_coarse
+        if lvl == 0:
+            # +128 alignment slack: the kernel aligns the crop origin down
+            # to the (8, 128) DMA tile
+            need = int(2.0 * max_point_range / spec.resolution) + 64 + 128
+            window = min(round_up(need, 128), round_up(min(spec.shape), 128))
+            poses_map, hess, scores = match_level_pallas(
+                prob_grids[lvl], pts_map, valid, poses_map,
+                window=window, num_iters=iters, yaw_clamp=yaw_clamp,
+            )
+        else:
+            need = int(2.0 * max_point_range / spec.resolution) + 64
+            window = min(round_up(need, 128), round_up(min(spec.shape), 128))
+            poses_map, hess, scores = jax.vmap(
+                lambda p, v, g: match_level(
+                    prob_grids[lvl], p, v, g, num_iters=iters,
+                    yaw_clamp=yaw_clamp, window=window,
+                    compute_dtype=compute_dtype,
+                )
+            )(pts_map, valid, poses_map)
+        poses = spec.map_pose_to_world(poses_map)
+    return MatchResult(pose=poses, hessian=hess, score=scores)

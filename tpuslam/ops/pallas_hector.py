@@ -16,6 +16,13 @@ keeps all ``num_iters`` Gauss-Newton iterations on-chip:
 Numerics match match/hector.gn_system_mxu with compute_dtype=bfloat16 for
 in-window points (see tests/test_pallas_hector.py).  Semantics contract:
 reference ScanMatcher.h:60-139 / OccGridMapUtil.h:77-132 via SURVEY §2.2.
+
+Measured on one v5e chip (batch 1024, window 640, 512 beams, 5 GN iters):
+the kernel runs the finest level ~11% faster than the XLA MXU path (28.7k
+vs 25.7k level-matches/s), but over the FULL 3-level pyramid XLA's
+cross-level fusion still wins (20.1k vs 17.1k), so ``matcher_impl="mxu"``
+remains the default; ``match_pyramid_batched(..., impl="pallas")`` selects
+the hybrid kernel path explicitly.
 """
 
 from __future__ import annotations
