@@ -53,7 +53,13 @@ class PlicpResult(NamedTuple):
 def _correspondences(
     cur: Array, src_valid: Array, ref: Array, ref_valid: Array
 ):
-    """Closest ref point j1 + neighbor line point j2 per source point."""
+    """Closest ref point j1 + neighbor line point j2 per source point.
+
+    TPU shape: no element gathers — the nearest distance is a row min, the
+    j1±1 neighbor distances come from lane-rolled copies of the distance
+    matrix reduced through the argmin one-hot, and the winners' one-hots are
+    rolls of the j1 one-hot.  Returns (oh1, oh2, d1, ok) where oh1/oh2 are
+    [B, B'] one-hot selectors of the two line points."""
     n_ref = ref.shape[0]
     d2 = (
         jnp.sum(cur * cur, axis=-1, keepdims=True)
@@ -63,20 +69,24 @@ def _correspondences(
     d2 = jnp.where(ref_valid[None, :], d2, BIG)
     d2 = jnp.where(src_valid[:, None], d2, BIG)
     j1 = jnp.argmin(d2, axis=-1)
-    d1 = jnp.take_along_axis(d2, j1[:, None], axis=-1)[:, 0]
+    d1 = jnp.min(d2, axis=-1)
 
-    # neighbor candidates j1±1; pick the closer VALID one (CSM uses the
-    # next-closest point along the scan to span the surface line)
-    jm = jnp.clip(j1 - 1, 0, n_ref - 1)
-    jp = jnp.clip(j1 + 1, 0, n_ref - 1)
-    dm = jnp.take_along_axis(d2, jm[:, None], axis=-1)[:, 0]
-    dp = jnp.take_along_axis(d2, jp[:, None], axis=-1)[:, 0]
-    dm = jnp.where(jm == j1, BIG, dm)
-    dp = jnp.where(jp == j1, BIG, dp)
-    j2 = jnp.where(dm < dp, jm, jp)
+    cols = jnp.arange(n_ref)[None, :]
+    oh1 = (j1[:, None] == cols).astype(cur.dtype)  # [B, B']
+    # value at column j1∓1 = one-hot reduce of the lane-rolled matrix
+    dm = jnp.sum(oh1 * jnp.roll(d2, -1, axis=-1), axis=-1)
+    dp = jnp.sum(oh1 * jnp.roll(d2, 1, axis=-1), axis=-1)
+    dm = jnp.where(j1 == 0, BIG, dm)  # no left neighbor at the scan edge
+    dp = jnp.where(j1 == n_ref - 1, BIG, dp)
+    left = dm < dp
+    oh2 = jnp.where(
+        left[:, None],
+        jnp.roll(oh1, -1, axis=-1),
+        jnp.roll(oh1, 1, axis=-1),
+    )
     d2nd = jnp.minimum(dm, dp)
     ok = (d1 < BIG) & (d2nd < BIG)
-    return j1, j2, d1, ok
+    return oh1, oh2, d1, ok
 
 
 def _point_line_residual(cur: Array, q1: Array, q2: Array):
@@ -108,18 +118,21 @@ def plicp(
     def iteration(carry, _):
         pose, done = carry
         cur = se2.transform_points(pose, src)
-        j1, j2, d1, ok = _correspondences(cur, src_valid, ref, ref_valid)
+        oh1, oh2, d1, ok = _correspondences(cur, src_valid, ref, ref_valid)
         ok = ok & (d1 < max_d2)
 
-        # remove doubles: keep only the closest src per ref point
-        best_per_ref = jnp.full((n_ref,), BIG, src.dtype).at[j1].min(
-            jnp.where(ok, d1, BIG)
-        )
         if cfg.outliers_remove_doubles:
-            ok = ok & (d1 <= jnp.take(best_per_ref, j1) + 1e-12)
+            # keep only the closest src per ref point: columnwise min of the
+            # one-hot-masked distance matrix (the scatter-min, vectorized)
+            dmat = jnp.where(
+                (oh1 > 0) & ok[:, None], d1[:, None], BIG
+            )
+            best_per_ref = jnp.min(dmat, axis=0)  # [B']
+            my_best = jnp.sum(oh1 * best_per_ref[None, :], axis=-1)
+            ok = ok & (d1 <= my_best + 1e-12)
 
-        q1 = jnp.take(ref, j1, axis=0)
-        q2 = jnp.take(ref, j2, axis=0)
+        q1 = jnp.dot(oh1, ref, precision=jax.lax.Precision.HIGHEST)
+        q2 = jnp.dot(oh2, ref, precision=jax.lax.Precision.HIGHEST)
         r, n = _point_line_residual(cur, q1, q2)
         dist = jnp.abs(r)
 
