@@ -37,7 +37,8 @@ def nearest_neighbors(
 ) -> tuple[Array, Array]:
     """Index of the nearest dst point per src point + squared distance.
 
-    One [B, B] distance matrix via |p|^2 + |q|^2 - 2 p.q (MXU matmul)."""
+    One [B, B] distance matrix via |p|^2 + |q|^2 - 2 p.q (MXU matmul);
+    the distance comes from a row min (no element gather)."""
     d2 = (
         jnp.sum(src * src, axis=-1, keepdims=True)
         + jnp.sum(dst * dst, axis=-1)[None, :]
@@ -46,7 +47,7 @@ def nearest_neighbors(
     d2 = jnp.where(dst_valid[None, :], d2, BIG)
     d2 = jnp.where(src_valid[:, None], d2, BIG)
     idx = jnp.argmin(d2, axis=-1)
-    return idx, jnp.take_along_axis(d2, idx[:, None], axis=-1)[:, 0]
+    return idx, jnp.min(d2, axis=-1)
 
 
 def rigid_fit_2d(
@@ -86,7 +87,11 @@ def icp(
         cur = se2.transform_points(pose, src)
         idx, d2 = nearest_neighbors(cur, src_valid, dst, dst_valid)
         w = (src_valid & (d2 < max_d2)).astype(src.dtype)
-        matched = jnp.take(dst, idx, axis=0)
+        # matched point select as a one-hot matmul (TPU gathers are slow)
+        oh = (idx[:, None] == jnp.arange(dst.shape[0])[None, :]).astype(
+            src.dtype
+        )
+        matched = jnp.dot(oh, dst, precision=jax.lax.Precision.HIGHEST)
         delta = rigid_fit_2d(cur, matched, w)
         new_pose = se2.compose(delta, pose)
         n_in = jnp.sum(w)

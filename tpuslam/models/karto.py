@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -578,20 +579,30 @@ class KartoMapper:
             xmin,
             ymin,
         )
-        counts = zero_counts(spec)
         jposes = jnp.asarray(poses, jnp.float32)
         wpts = se2.transform_points(jposes, self._pts[:n])
         max_steps = int(cfg.use_scan_range / res) + 2
-        for i in range(n):
-            counts = accumulate_scan(
-                spec,
-                counts,
-                spec.world_to_map(jposes[i, :2]),
-                spec.world_to_map(wpts[i]),
-                jnp.zeros(self._valid.shape[1], bool),
-                self._valid[i],
-                max_steps=max_steps,
+
+        @partial(jax.jit, static_argnames=("sp", "steps"))
+        def fold(sp, origins, endpoints, valid, steps):
+            def body(c, inp):
+                o, e, v = inp
+                return accumulate_scan(
+                    sp, c, o, e, jnp.zeros_like(v), v, max_steps=steps
+                ), None
+
+            c, _ = jax.lax.scan(
+                body, zero_counts(sp), (origins, endpoints, valid)
             )
+            return c
+
+        counts = fold(
+            spec,
+            spec.world_to_map(jposes[:, :2]),
+            spec.world_to_map(wpts),
+            self._valid[:n],
+            max_steps,
+        )
         return spec, karto_export(
             counts,
             min_pass_through=cfg.min_pass_through,
