@@ -28,7 +28,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from tpuslam.core import se2
 from tpuslam.core.config import UndistortConfig
 from tpuslam.core.scan import Scan, scan_to_points
 

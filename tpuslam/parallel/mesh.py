@@ -12,7 +12,6 @@ with a ``max`` all-reduce (boolean OR), which rides ICI.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
