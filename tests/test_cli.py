@@ -104,3 +104,20 @@ def test_hector_png(tmp_path):
     run_cli("hector", "--synthetic", "--num-scans", "6", "--num-beams", "180",
             "--poses-per-rev", "120", "--png", str(png))
     assert png.exists() and png.stat().st_size > 5000
+
+
+def test_karto_with_yaml_config(tmp_path):
+    cfgfile = tmp_path / "mapper.yaml"
+    cfgfile.write_text(
+        "use_scan_range: 6.0\n"
+        "minimum_travel_distance: 0.2\n"
+        "scan_buffer_size: 10\n"
+        "correlation_search_space_dimension: 0.32\n"
+        "correlation_search_space_resolution: 0.02\n"
+        "correlation_search_space_smear_deviation: 0.04\n"
+        "do_loop_closing: false\n"
+    )
+    r = run_cli("karto", "--synthetic", "--num-scans", "8",
+                "--num-beams", "120", "--config", str(cfgfile))
+    assert r["scans_processed"] >= 3
+    assert r["ate_rmse"] is not None

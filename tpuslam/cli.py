@@ -22,6 +22,7 @@ Every workload runs from a scan log (``--log``) or a synthesized one
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import os
 import sys
@@ -48,6 +49,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save", help="write outputs (npz)")
     p.add_argument("--png", help="render map/trajectory PNG (rviz analog)")
+    p.add_argument("--config", help="YAML config with reference parameter "
+                   "names (core.config.from_yaml)")
     p.add_argument("--report", action="store_true",
                    help="print per-stage timing report to stderr")
 
@@ -253,12 +256,18 @@ def cmd_hector(args):
     from tpuslam.utils.timing import StepTimer
 
     log, true = _get_log(args)
-    cfg = HectorConfig(
-        map_size=512, num_beams=log.num_beams,
-        laser_max_dist=min(log.range_max, 25.0),
-        ray_steps=512,
-        map_update_distance_thresh=0.1, map_update_angle_thresh=0.15,
-    )
+    if args.config:
+        from tpuslam.core.config import from_yaml
+
+        cfg = dataclasses.replace(from_yaml("hector", args.config),
+                                  num_beams=log.num_beams)
+    else:
+        cfg = HectorConfig(
+            map_size=512, num_beams=log.num_beams,
+            laser_max_dist=min(log.range_max, 25.0),
+            ray_steps=512,
+            map_update_distance_thresh=0.1, map_update_angle_thresh=0.15,
+        )
     st = hector_slam.init_state(cfg)
     if true is not None:
         st = st._replace(pose=jnp.asarray(true[0], jnp.float32))
@@ -327,6 +336,13 @@ def cmd_karto(args):
     from tpuslam.utils.timing import StepTimer
 
     log, true = _get_log(args)
+    if args.config:
+        from tpuslam.core.config import from_yaml
+
+        cfg = dataclasses.replace(from_yaml("karto", args.config),
+                                  num_beams=log.num_beams)
+        mapper = KartoMapper(cfg, max_scans=max(64, len(log)))
+        return _run_karto(args, log, true, cfg, mapper)
     cfg = KartoConfig(
         num_beams=log.num_beams,
         use_scan_range=min(log.range_max, 12.0),
@@ -343,6 +359,12 @@ def cmd_karto(args):
         loop_match_minimum_response_fine=0.5,
     )
     mapper = KartoMapper(cfg, max_scans=max(64, len(log)))
+    return _run_karto(args, log, true, cfg, mapper)
+
+
+def _run_karto(args, log, true, cfg, mapper):
+    from tpuslam.utils.timing import StepTimer
+
     timer = StepTimer()
     loops = 0
     kept_truth = []
