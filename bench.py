@@ -19,8 +19,16 @@ import numpy as np
 
 
 def main() -> None:
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.expanduser("~/.cache/tpuslam-xla"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     from tpuslam.core.config import HectorConfig
     from tpuslam.core.scan import make_scan, scan_to_points

@@ -37,6 +37,21 @@ if os.environ.get("TPUSLAM_PLATFORM"):
 
     _jax.config.update("jax_platforms", os.environ["TPUSLAM_PLATFORM"])
 
+if os.environ.get("TPUSLAM_NO_COMPILE_CACHE") != "1":
+    # Persistent XLA compilation cache: the karto pipeline compiles a family
+    # of matcher/solver shapes as the pose graph grows — caching them across
+    # runs turns minutes of first-run compiles into warm starts.
+    import jax as _jax2
+
+    _jax2.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get(
+            "TPUSLAM_COMPILE_CACHE",
+            os.path.expanduser("~/.cache/tpuslam-xla"),
+        ),
+    )
+    _jax2.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--log", help="scan log path (.tslg or .npz)")
