@@ -172,3 +172,47 @@ def test_find_valid_points_python_port():
         )
     )
     assert (got == want).all(), np.nonzero(got != want)
+
+
+def test_localize_recovers_global_pose():
+    """Relocalization: large search window finds the pose from a far guess."""
+    from tpuslam.match.correlative import localize
+
+    reloc_spec = CorrelativeSpec(
+        resolution=0.1,
+        search_dim=3.0,
+        smear_deviation=0.1,
+        range_threshold=6.0,
+        coarse_angle_offset=math.pi,  # full heading search
+        coarse_angle_resolution=0.0349,
+    )
+    true = np.array([0.8, -0.6, 2.5])
+    lpts, lv = scan_pts(true)
+    bpts, bv = world_pts(true)
+    # center far from the truth (1+ meter off, wrong heading)
+    center = jnp.asarray([0.0, 0.0, 0.0], jnp.float32)
+    res = localize(reloc_spec, center, lpts, lv, bpts[None], bv[None])
+    got = np.asarray(res.pose)
+    assert abs(got[0] - true[0]) < 0.12 and abs(got[1] - true[1]) < 0.12, got
+    dth = np.arctan2(np.sin(got[2] - true[2]), np.cos(got[2] - true[2]))
+    assert abs(dth) < 0.05, got
+    assert float(res.response) > 0.4
+
+
+def test_denominator_flag():
+    true = np.zeros(3)
+    lpts, lv = scan_pts(true)
+    bpts, bv = world_pts(true)
+    # invalidate half the beams: exact-parity mode halves the response
+    lv_half = np.asarray(lv).copy()
+    lv_half[::2] = False
+    import dataclasses as dc
+
+    spec_exact = dc.replace(SPEC, count_invalid_in_denominator=True)
+    r1 = match_scan(SPEC, jnp.asarray([0.05, 0.05, 0.0], jnp.float32),
+                    lpts, jnp.asarray(lv_half), bpts[None], bv[None])
+    r2 = match_scan(spec_exact, jnp.asarray([0.05, 0.05, 0.0], jnp.float32),
+                    lpts, jnp.asarray(lv_half), bpts[None], bv[None])
+    ratio = float(r2.response) / max(float(r1.response), 1e-9)
+    valid_frac = lv_half.sum() / len(lv_half)
+    assert abs(ratio - valid_frac) < 0.05, (ratio, valid_frac)

@@ -107,3 +107,20 @@ def test_icp_batch_vmap():
     )
     got = np.asarray(res.pose)
     assert np.allclose(got, np.stack(trues), atol=0.03), (got, np.stack(trues))
+
+
+def test_plicp_alpha_test_knob():
+    import dataclasses as dc
+
+    pa = np.zeros(3)
+    pb = np.array([0.06, -0.04, 0.05])
+    pts_a, va = scan_points(pa, noise=0.003, seed=3)
+    pts_b, vb = scan_points(pb, noise=0.003, seed=4)
+    cfg = dc.replace(PL_CFG, do_alpha_test=1, do_alpha_test_thresholdDeg=20.0)
+    res = plicp(cfg, pts_b, vb, pts_a, va)
+    want = np.asarray(se2.relative(jnp.zeros(3), jnp.asarray(pb, jnp.float32)))
+    assert bool(res.valid)
+    assert np.allclose(np.asarray(res.pose), want, atol=0.03), res.pose
+    # the test must actually reject some correspondences vs the default
+    res0 = plicp(PL_CFG, pts_b, vb, pts_a, va)
+    assert int(res.num_inliers) <= int(res0.num_inliers)

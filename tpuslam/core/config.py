@@ -68,7 +68,7 @@ class PlicpConfig:
     clustering_threshold: float = 0.25
     orientation_neighbourhood: int = 20
     use_point_to_line_distance: int = 1
-    do_alpha_test: int = 0
+    do_alpha_test: int = 0  # normal-compatibility gate (implemented)
     do_alpha_test_thresholdDeg: float = 20.0
     outliers_maxPerc: float = 0.90
     outliers_adaptive_order: float = 0.7

@@ -70,6 +70,10 @@ class CorrelativeSpec:
     minimum_distance_penalty: float = 0.5
     minimum_angle_penalty: float = 0.9
     use_response_expansion: bool = True
+    # True reproduces GetResponse's exact normalization (Mapper.cpp:819-856
+    # divides by ALL readings, NaN ones included, depressing responses for
+    # lossy scans); False (default) divides by the valid-beam count
+    count_invalid_in_denominator: bool = False
 
     # ---- derived static sizes (Mapper.cpp:147-160) ----
     @property
@@ -253,7 +257,10 @@ def _correlate(
     # which the candidate lattice is read out.  Identical numerics; points
     # whose whole patch leaves the grid are dropped (the reference's margin
     # sizing guarantees in-range points never do, Mapper.cpp:150-156).
-    denom = jnp.maximum(jnp.sum(valid), 1).astype(jnp.float32)
+    if spec.count_invalid_in_denominator:
+        denom = jnp.float32(valid.shape[0])
+    else:
+        denom = jnp.maximum(jnp.sum(valid), 1).astype(jnp.float32)
     base_x = jnp.floor((center_pose[0] - origin[0]) / res + 0.5).astype(
         jnp.int32
     )
@@ -477,3 +484,23 @@ def match_scan(
         cov = cov_pos.at[2, 2].set(var_th)
         return CorrelativeResult(pose=mean_f, response=best_f, covariance=cov)
     return CorrelativeResult(pose=mean, response=best, covariance=cov_pos)
+
+
+def localize(
+    spec: CorrelativeSpec,
+    center_pose: Array,
+    local_pts: Array,
+    valid: Array,
+    base_pts: Array,
+    base_valid: Array,
+) -> CorrelativeResult:
+    """Global(ish) relocalization: find the scan's pose anywhere within
+    ``spec.search_dim`` of ``center_pose`` — the karto loop matcher used as
+    a standalone capability (new vs the reference, which only relocalizes
+    implicitly during loop closure).  Use a large ``search_dim`` (e.g. the
+    map extent) and a coarse ``resolution``; refine the result with the
+    sequential matcher or hector GN."""
+    return match_scan(
+        spec, center_pose, local_pts, valid, base_pts, base_valid,
+        penalize=False, refine=True,
+    )

@@ -121,6 +121,35 @@ def plicp(
         oh1, oh2, d1, ok = _correspondences(cur, src_valid, ref, ref_valid)
         ok = ok & (d1 < max_d2)
 
+        if cfg.do_alpha_test:
+            # CSM's orientation compatibility test: discard correspondences
+            # whose source-surface normal differs from the reference line
+            # normal by more than the threshold.  Source normals come from
+            # the scan's neighboring points (same construction CSM uses).
+            nb = jnp.roll(src, -1, axis=0) - jnp.roll(src, 1, axis=0)
+            src_norm = jnp.stack([-nb[:, 1], nb[:, 0]], axis=-1)
+            src_norm = src_norm / jnp.maximum(
+                jnp.linalg.norm(src_norm, axis=-1, keepdims=True), 1e-9
+            )
+            c0, s0 = jnp.cos(pose[2]), jnp.sin(pose[2])
+            rn = jnp.stack(
+                [c0 * src_norm[:, 0] - s0 * src_norm[:, 1],
+                 s0 * src_norm[:, 0] + c0 * src_norm[:, 1]], axis=-1
+            )
+            # reference line normal via the one-hot selected line points
+            q1a = jnp.dot(oh1, ref, precision=jax.lax.Precision.HIGHEST)
+            q2a = jnp.dot(oh2, ref, precision=jax.lax.Precision.HIGHEST)
+            ta = q2a - q1a
+            ref_n = jnp.stack([-ta[:, 1], ta[:, 0]], axis=-1)
+            ref_n = ref_n / jnp.maximum(
+                jnp.linalg.norm(ref_n, axis=-1, keepdims=True), 1e-9
+            )
+            cosang = jnp.abs(jnp.sum(rn * ref_n, axis=-1))
+            thresh = math.cos(
+                math.radians(cfg.do_alpha_test_thresholdDeg)
+            )
+            ok = ok & (cosang >= thresh)
+
         if cfg.outliers_remove_doubles:
             # keep only the closest src per ref point: columnwise min of the
             # one-hot-masked distance matrix (the scatter-min, vectorized)
