@@ -92,12 +92,18 @@ def make_solver(name: str) -> ScanSolver:
 def graph_from_edges(
     poses: np.ndarray,
     edges: list[tuple[int, int, np.ndarray, np.ndarray]],
+    min_nodes: int = 256,
+    min_edges: int = 512,
 ) -> PoseGraph:
-    """Build a padded PoseGraph from host-side pose/edge lists (powers of two
-    capacities to bound recompilation)."""
+    """Build a padded PoseGraph from host-side pose/edge lists.
+
+    Capacities are powers of two with generous minimums so the solver
+    compiles once for a whole mapping session instead of at every
+    capacity bump (each XLA compile costs tens of seconds on TPU; the
+    padded PCG work is masked and cheap by comparison)."""
     n, e = len(poses), len(edges)
-    cap_n = 1 << max(4, (max(n, 1) - 1).bit_length())
-    cap_e = 1 << max(4, (max(e, 1) - 1).bit_length())
+    cap_n = max(min_nodes, 1 << max(4, (max(n, 1) - 1).bit_length()))
+    cap_e = max(min_edges, 1 << max(4, (max(e, 1) - 1).bit_length()))
     g = empty_graph(cap_n, cap_e)
     if n == 0:
         return g
