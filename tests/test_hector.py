@@ -148,3 +148,22 @@ def test_match_pyramid_batched_impls_agree():
     b = match_pyramid_batched(specs, grids, pts, valid, guesses,
                               max_point_range=12.0, impl="gather")
     assert np.allclose(np.asarray(a.pose), np.asarray(b.pose), atol=2e-3)
+
+
+def test_run_trajectory_matches_step_loop():
+    """The lax.scan fold must produce bit-identical poses to stepping."""
+    poses = circle_trajectory(radius=1.0, num_poses=6)
+    scans = [scan_at(p) for p in poses]
+    batched = jax.tree.map(lambda *xs: jnp.stack(xs), *scans)
+
+    st0 = hector_slam.init_state(CFG)
+    st0 = st0._replace(pose=jnp.asarray(poses[0], jnp.float32))
+    _, fold_poses = hector_slam.run_trajectory(CFG, st0, batched)
+
+    st = hector_slam.init_state(CFG)
+    st = st._replace(pose=jnp.asarray(poses[0], jnp.float32))
+    loop_poses = []
+    for s in scans:
+        st, res = hector_slam.step(CFG, st, s)
+        loop_poses.append(np.asarray(res.pose))
+    assert np.allclose(np.asarray(fold_poses), np.stack(loop_poses), atol=1e-6)

@@ -73,3 +73,45 @@ def test_events_bus():
     unsub()
     bus.fire("x")
     assert len(got) == 1
+
+
+def test_batch_match_recovers_poses():
+    from tpuslam.parallel.mesh import batch_match
+
+    # denser fixture than the sharding smoke tests: the 64-beam 6.4 m map
+    # is too sparse for accuracy assertions
+    cfg = HectorConfig(map_size=256, map_multi_res_levels=2, num_beams=180,
+                       ray_steps=192, laser_max_dist=12.0)
+    segs = rect_room(8.0, 6.0)
+    state = hector_slam.init_state(cfg)
+    r, amin, ainc = simulate_scan(segs, np.zeros(3), num_beams=180,
+                                  max_range=20.0)
+    sc = make_scan(r, angle_min=amin, angle_increment=ainc, range_min=0.1,
+                   range_max=20.0, num_beams=180)
+    state, _ = hector_slam.step(cfg, state, sc, map_without_matching=True)
+
+    want = np.stack([[0.02 * i, -0.01 * i, 0.01 * i] for i in range(4)])
+    scans = []
+    for p in want:
+        r, amin, ainc = simulate_scan(segs, p, num_beams=180, max_range=20.0)
+        scans.append(make_scan(r, angle_min=amin, angle_increment=ainc,
+                               range_min=0.1, range_max=20.0, num_beams=180))
+    import jax as _jax
+
+    batched = _jax.tree.map(lambda *xs: jnp.stack(xs), *scans)
+    poses, scores = batch_match(cfg, state, batched)
+    got = np.asarray(poses)
+    assert np.allclose(got, want, atol=0.05), (got, want)
+    assert (np.asarray(scores) > 0.3).all()
+
+
+def test_karto_graph_segments():
+    from tpuslam.utils.viz import karto_graph_segments
+
+    class FakeMapper:
+        poses = np.array([[0.0, 0.0, 0.0], [1.0, 0.5, 0.1]])
+        edges = [(0, 1, None, None)]
+
+    segs = karto_graph_segments(FakeMapper())
+    assert segs.shape == (1, 2, 2)
+    assert np.allclose(segs[0, 1], [1.0, 0.5])
