@@ -216,3 +216,35 @@ def test_denominator_flag():
     ratio = float(r2.response) / max(float(r1.response), 1e-9)
     valid_frac = lv_half.sum() / len(lv_half)
     assert abs(ratio - valid_frac) < 0.05, (ratio, valid_frac)
+
+
+def test_response_expansion_fires_on_zero_coarse():
+    """Engineered zero coarse response: a compact point cluster rotated 30°
+    (outside the ±20° coarse window but inside the first +20° expansion
+    retry) is only found when use_response_expansion is on."""
+    import dataclasses as dc
+
+    # base: tight cluster at bearing 0°, 3 m out
+    # span > 0.1 m so the viewpoint filter's decision points fire
+    ang_b = np.linspace(-0.04, 0.04, 40)
+    base = np.stack([3.0 * np.cos(ang_b), 3.0 * np.sin(ang_b)], -1)
+    # scan: the same cluster seen rotated by -30° (true heading +30°)
+    rot = -np.pi / 6
+    c, s = np.cos(rot), np.sin(rot)
+    local = np.stack([c * base[:, 0] - s * base[:, 1],
+                      s * base[:, 0] + c * base[:, 1]], -1)
+    lpts = jnp.asarray(local, jnp.float32)
+    bpts = jnp.asarray(base, jnp.float32)[None]
+    v = jnp.ones(40, bool)
+
+    res_on = match_scan(SPEC, jnp.zeros(3, jnp.float32), lpts, v, bpts,
+                        v[None])
+    spec_off = dc.replace(SPEC, use_response_expansion=False)
+    res_off = match_scan(spec_off, jnp.zeros(3, jnp.float32), lpts, v, bpts,
+                         v[None])
+    # without expansion the ±20° window sees nothing
+    assert float(res_off.response) == 0.0
+    # with expansion the +20° retry (±40° window) finds the 30° rotation
+    assert float(res_on.response) > 0.5, float(res_on.response)
+    got_th = float(res_on.pose[2])
+    assert abs(got_th - np.pi / 6) < 0.05, got_th

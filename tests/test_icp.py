@@ -124,3 +124,18 @@ def test_plicp_alpha_test_knob():
     # the test must actually reject some correspondences vs the default
     res0 = plicp(PL_CFG, pts_b, vb, pts_a, va)
     assert int(res.num_inliers) <= int(res0.num_inliers)
+
+
+def test_plicp_point_to_point_fallback():
+    """use_point_to_line_distance=0 routes through the rigid-fit branch."""
+    import dataclasses as dc
+
+    pa = np.zeros(3)
+    pb = np.array([0.05, -0.03, 0.04])
+    pts_a, va = scan_points(pa)
+    pts_b, vb = scan_points(pb)
+    cfg = dc.replace(PL_CFG, use_point_to_line_distance=0)
+    res = plicp(cfg, pts_b, vb, pts_a, va)
+    want = np.asarray(se2.relative(jnp.zeros(3), jnp.asarray(pb, jnp.float32)))
+    assert bool(res.valid)
+    assert np.allclose(np.asarray(res.pose), want, atol=0.03), res.pose
