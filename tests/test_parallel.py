@@ -115,3 +115,20 @@ def test_karto_graph_segments():
     segs = karto_graph_segments(FakeMapper())
     assert segs.shape == (1, 2, 2)
     assert np.allclose(segs[0, 1], [1.0, 0.5])
+
+
+def test_2d_mesh_scan_by_beam():
+    from tpuslam.parallel.mesh import make_mesh_2d, sharded_batch_step
+
+    mesh = make_mesh_2d(8)  # 4 x 2: scans x beams
+    assert mesh.devices.shape == (4, 2)
+    scans = make_batch(8)
+    state = hector_slam.init_state(CFG)
+    step = sharded_batch_step(CFG, mesh)
+    new_state, poses = step(state, scans)
+    jax.block_until_ready(poses)
+    assert poses.shape == (8, 3)
+    # identical numerics to the unsharded step
+    local = jax.jit(lambda s, sc: batch_step(CFG, s, sc))(state, scans)
+    np.testing.assert_allclose(np.asarray(poses), np.asarray(local[1]),
+                               atol=1e-5)

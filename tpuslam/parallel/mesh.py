@@ -128,14 +128,37 @@ def batch_step(
     return new_state, poses
 
 
+def make_mesh_2d(
+    n_devices: int | None = None,
+    scan_axis: int | None = None,
+    axes: tuple[str, str] = ("scan", "beam"),
+) -> Mesh:
+    """2-D mesh: data-parallel over scans x model-parallel over beams.
+
+    Sharding the beam axis splits each scan's GN reductions (H, dTr sums)
+    across devices — XLA inserts the psum over ICI.  ``scan_axis`` defaults
+    to n_devices // 2."""
+    import numpy as _np
+
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    sa = scan_axis or max(1, n // 2)
+    return Mesh(_np.asarray(devs[:n]).reshape(sa, n // sa), axes)
+
+
 def sharded_batch_step(cfg: HectorConfig, mesh: Mesh, axis: str = "scan"):
     """jit ``batch_step`` with scans sharded over the mesh and state
-    replicated; XLA inserts the mask all-reduces over ICI."""
+    replicated; XLA inserts the mask all-reduces over ICI.
+
+    With a 2-D mesh from :func:`make_mesh_2d`, the beam axis of every scan
+    additionally shards over the second mesh axis (sequence-parallel
+    flavor): the per-scan GN normal-system reductions become psums."""
+    beam = "beam" if "beam" in mesh.axis_names else None
     scan_sharding = Scan(
-        ranges=NamedSharding(mesh, P(axis)),
-        angles=NamedSharding(mesh, P(axis)),
-        valid=NamedSharding(mesh, P(axis)),
-        stamps=NamedSharding(mesh, P(axis)),
+        ranges=NamedSharding(mesh, P(axis, beam)),
+        angles=NamedSharding(mesh, P(axis, beam)),
+        valid=NamedSharding(mesh, P(axis, beam)),
+        stamps=NamedSharding(mesh, P(axis, beam)),
     )
     state_sharding = HectorState(
         log_odds=tuple(
