@@ -208,7 +208,10 @@ def match_pyramid(
         if max_point_range is not None:
             from tpuslam.ops.mxu_interp import round_up
 
-            need = int(2.0 * max_point_range / spec.resolution) + 64
+            # 32-cell slack for pose motion across GN iterations (the crop
+            # is anchored at the initial pose); e.g. 12 m range at 5 cm
+            # lands exactly on a 512-wide window
+            need = int(2.0 * max_point_range / spec.resolution) + 32
             window = min(round_up(need, 128), round_up(min(spec.shape), 128))
         pose_map, hessian, score = match_level(
             prob_grids[lvl],
