@@ -147,3 +147,23 @@ def test_multi_sensor_mapping():
         ids = m.sensor_scans[sname]
         errs = [abs(m.poses[s][1] - ys) for s in ids]
         assert max(errs) < 0.1, (sname, errs)
+
+
+def test_capacity_overflow_returns_unprocessed():
+    m = KartoMapper(CFG, max_scans=2)
+    assert m.process(scan_at(np.zeros(3)), np.zeros(3), time=0.0).processed
+    assert m.process(scan_at([0.25, 0, 0]), np.array([0.25, 0, 0]),
+                     time=1.0).processed
+    r = m.process(scan_at([0.5, 0, 0]), np.array([0.5, 0, 0]), time=2.0)
+    assert not r.processed
+    assert len(m.records) == 2
+
+
+def test_occupancy_grid_resolution_override():
+    m = KartoMapper(CFG, max_scans=8)
+    for i in range(4):
+        p = np.array([0.25 * i, 0.0, 0.0])
+        m.process(scan_at(p), p, time=float(i))
+    spec, img = m.occupancy_grid(resolution=0.1)
+    assert spec.resolution == 0.1
+    assert img.shape == spec.shape
