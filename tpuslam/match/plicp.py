@@ -61,10 +61,12 @@ def _correspondences(
     rolls of the j1 one-hot.  Returns (oh1, oh2, d1, ok) where oh1/oh2 are
     [B, B'] one-hot selectors of the two line points."""
     n_ref = ref.shape[0]
+    # full-precision cross term: TPU default matmul precision is bf16,
+    # which perturbs d2 by ~1e-2 m^2 and can flip near-tie correspondences
     d2 = (
         jnp.sum(cur * cur, axis=-1, keepdims=True)
         + jnp.sum(ref * ref, axis=-1)[None, :]
-        - 2.0 * cur @ ref.T
+        - 2.0 * jnp.dot(cur, ref.T, precision=jax.lax.Precision.HIGHEST)
     )
     d2 = jnp.where(ref_valid[None, :], d2, BIG)
     d2 = jnp.where(src_valid[:, None], d2, BIG)
