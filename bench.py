@@ -86,17 +86,26 @@ def main() -> None:
 
     # Warm-up / compile.
     out = match_batch(pts, valid, guesses)
-    jax.block_until_ready(out)
+    out = np.asarray(out)
 
     # Sanity: matches must actually converge, or the number is meaningless.
-    err = np.abs(np.asarray(out) - true_poses)
+    err = np.abs(out - true_poses)
     assert err[:, :2].mean() < 0.05, err[:, :2].mean()
 
+    # Timed loop CHAINS each iteration's output into the next input so the
+    # device must execute every iteration before the final host fetch —
+    # robust against async-dispatch semantics of tunneled backends.
+    chain = jax.jit(
+        lambda g: match_batch(pts, valid, g) * 0.01 + g * 0.99
+    )
+    g = jnp.asarray(guesses)
+    g = chain(g)
+    _ = np.asarray(g)  # compile + settle
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = match_batch(pts, valid, guesses)
-    jax.block_until_ready(out)
+        g = chain(g)
+    _ = np.asarray(g)
     dt = time.perf_counter() - t0
 
     mps = batch * iters / dt

@@ -26,14 +26,19 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
 def timed(fn, *args, iters=10):
+    """Per-iteration host fetch of one output leaf: conservative (includes
+    dispatch + transfer) but honest — ``block_until_ready`` does not reliably
+    await execution on tunneled PJRT backends."""
     import jax
 
-    out = fn(*args)
-    jax.block_until_ready(out)
+    def settle(out):
+        leaf = jax.tree.leaves(out)[0]
+        jax.device_get(leaf)
+
+    settle(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        settle(fn(*args))
     return (time.perf_counter() - t0) / iters
 
 

@@ -85,3 +85,32 @@ def test_combined_motion():
     pts, v = undistort(CFG, sc, imu, odom_rel, 0.0, period)
     std, mean_x = wall_x_spread(pts, v)
     assert std < 0.02 and abs(mean_x - 4.0) < 0.05
+
+
+def test_use_imu_false_uses_odom_rotation():
+    import dataclasses as dc
+
+    omega = 2.0
+    sc, period = distorted_scan(omega, [0.0, 0.0])
+    cfg = dc.replace(CFG, use_imu=False)
+    # rotation comes from the odom relative yaw, linearly interpolated
+    imu = make_imu_buffer(np.linspace(0, period, 5), np.zeros(5), 64)
+    odom_rel = jnp.array([0.0, 0.0, omega * period])
+    pts, v = undistort(cfg, sc, imu, odom_rel, 0.0, period)
+    std, mean_x = wall_x_spread(pts, v)
+    assert std < 0.03 and abs(mean_x - 4.0) < 0.05
+
+
+def test_use_odom_false_ignores_translation():
+    import dataclasses as dc
+
+    sc, period = distorted_scan(0.0, [1.5, 0.0])
+    cfg = dc.replace(CFG, use_odom=False)
+    imu = make_imu_buffer(np.linspace(0, period, 5), np.zeros(5), 64)
+    odom_rel = jnp.array([1.5 * period, 0.0, 0.0])
+    pts, v = undistort(cfg, sc, imu, odom_rel, 0.0, period)
+    # translation not corrected: wall stays smeared compared to corrected
+    pts2, _ = undistort(CFG, sc, imu, odom_rel, 0.0, period)
+    s_raw, _ = wall_x_spread(pts, v)
+    s_fix, _ = wall_x_spread(pts2, v)
+    assert s_fix < s_raw

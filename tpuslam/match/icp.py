@@ -39,13 +39,13 @@ def nearest_neighbors(
 
     One [B, B] distance matrix via |p|^2 + |q|^2 - 2 p.q (MXU matmul);
     the distance comes from a row min (no element gather)."""
-    # full-precision cross term: TPU default matmul precision is bf16,
-    # which perturbs d2 by ~1e-2 m^2 and can flip near-tie correspondences
-    d2 = (
-        jnp.sum(src * src, axis=-1, keepdims=True)
-        + jnp.sum(dst * dst, axis=-1)[None, :]
-        - 2.0 * jnp.dot(src, dst.T, precision=jax.lax.Precision.HIGHEST)
-    )
+    # exact f32 distances via broadcasting: the matmul trick runs at TPU's
+    # default bf16 precision (flips near-tie correspondences) and requesting
+    # HIGHEST costs 6 passes; for K=2 the direct difference is cheap and
+    # cancellation-free
+    dx = src[:, None, 0] - dst[None, :, 0]
+    dy = src[:, None, 1] - dst[None, :, 1]
+    d2 = dx * dx + dy * dy
     d2 = jnp.where(dst_valid[None, :], d2, BIG)
     d2 = jnp.where(src_valid[:, None], d2, BIG)
     idx = jnp.argmin(d2, axis=-1)

@@ -61,13 +61,13 @@ def _correspondences(
     rolls of the j1 one-hot.  Returns (oh1, oh2, d1, ok) where oh1/oh2 are
     [B, B'] one-hot selectors of the two line points."""
     n_ref = ref.shape[0]
-    # full-precision cross term: TPU default matmul precision is bf16,
-    # which perturbs d2 by ~1e-2 m^2 and can flip near-tie correspondences
-    d2 = (
-        jnp.sum(cur * cur, axis=-1, keepdims=True)
-        + jnp.sum(ref * ref, axis=-1)[None, :]
-        - 2.0 * jnp.dot(cur, ref.T, precision=jax.lax.Precision.HIGHEST)
-    )
+    # exact f32 distances via broadcasting: the matmul trick runs at TPU's
+    # default bf16 precision (flips near-tie correspondences) and requesting
+    # HIGHEST costs 6 passes; for K=2 the direct difference is cheap and
+    # cancellation-free
+    dx = cur[:, None, 0] - ref[None, :, 0]
+    dy = cur[:, None, 1] - ref[None, :, 1]
+    d2 = dx * dx + dy * dy
     d2 = jnp.where(ref_valid[None, :], d2, BIG)
     d2 = jnp.where(src_valid[:, None], d2, BIG)
     j1 = jnp.argmin(d2, axis=-1)
