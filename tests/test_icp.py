@@ -139,3 +139,23 @@ def test_plicp_point_to_point_fallback():
     want = np.asarray(se2.relative(jnp.zeros(3), jnp.asarray(pb, jnp.float32)))
     assert bool(res.valid)
     assert np.allclose(np.asarray(res.pose), want, atol=0.03), res.pose
+
+
+def test_plicp_restart_knob():
+    """restart=1 re-runs from a displaced guess when the converged error is
+    high and keeps the better solution; with a good match it is a no-op."""
+    import dataclasses as dc
+
+    pa = np.zeros(3)
+    pb = np.array([0.06, -0.04, 0.05])
+    pts_a, va = scan_points(pa, noise=0.003, seed=5)
+    pts_b, vb = scan_points(pb, noise=0.003, seed=6)
+    cfg = dc.replace(PL_CFG, restart=1, restart_threshold_mean_error=0.01,
+                     restart_dt=0.05, restart_dtheta=0.05)
+    res = plicp(cfg, pts_b, vb, pts_a, va)
+    res0 = plicp(PL_CFG, pts_b, vb, pts_a, va)
+    want = np.asarray(se2.relative(jnp.zeros(3), jnp.asarray(pb, jnp.float32)))
+    assert bool(res.valid)
+    assert np.allclose(np.asarray(res.pose), want, atol=0.03)
+    # restart must never be WORSE than the single-pass result
+    assert float(res.mean_error) <= float(res0.mean_error) + 1e-6

@@ -61,7 +61,7 @@ class PlicpConfig:
     max_correspondence_dist: float = 1.0
     sigma: float = 0.010  # ignored (only used by CSM covariance path)
     use_corr_tricks: int = 1  # ignored (TPU search is dense/batched anyway)
-    restart: int = 0
+    restart: int = 0  # re-run from displaced guess on high error (implemented)
     restart_threshold_mean_error: float = 0.01
     restart_dt: float = 1.0
     restart_dtheta: float = 0.1

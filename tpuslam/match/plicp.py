@@ -223,6 +223,39 @@ def plicp(
         length=cfg.max_iterations,
     )
 
+    if cfg.restart:
+        # CSM restart semantics (icp_loop's restart knobs, surfaced by
+        # plicp_odometry.cc:103-117): when the converged mean error exceeds
+        # restart_threshold_mean_error, re-run the iterations from a guess
+        # displaced by (restart_dt, restart_dt, restart_dtheta) and keep the
+        # better of the two solutions.
+        def do_restart(_):
+            guess2 = init_pose + jnp.asarray(
+                [cfg.restart_dt, cfg.restart_dt, cfg.restart_dtheta],
+                init_pose.dtype,
+            )
+            (p2, _), (n2, e2) = jax.lax.scan(
+                iteration,
+                (guess2, jnp.zeros((), bool)),
+                None,
+                length=cfg.max_iterations,
+            )
+            better = e2[-1] < errs[-1]
+            return (
+                jnp.where(better, p2, pose),
+                jnp.where(better, n2[-1], n_in[-1]),
+                jnp.where(better, e2[-1], errs[-1]),
+            )
+
+        pose, last_n, last_e = jax.lax.cond(
+            errs[-1] > cfg.restart_threshold_mean_error,
+            do_restart,
+            lambda _: (pose, n_in[-1], errs[-1]),
+            None,
+        )
+        n_in = n_in.at[-1].set(last_n)
+        errs = errs.at[-1].set(last_e)
+
     # CSM clips corrections beyond the trust region and reports invalid
     within = (
         (jnp.abs(pose[0] - init_pose[0]) <= cfg.max_linear_correction)
