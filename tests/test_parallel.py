@@ -132,3 +132,24 @@ def test_2d_mesh_scan_by_beam():
     local = jax.jit(lambda s, sc: batch_step(CFG, s, sc))(state, scans)
     np.testing.assert_allclose(np.asarray(poses), np.asarray(local[1]),
                                atol=1e-5)
+
+
+def test_mesh_size_errors_are_clear():
+    with pytest.raises(ValueError, match="needs 16 devices"):
+        make_mesh(16)
+    from tpuslam.parallel.mesh import make_mesh_2d
+
+    with pytest.raises(ValueError, match="needs 16 devices"):
+        make_mesh_2d(16)
+    with pytest.raises(ValueError, match="does not divide"):
+        make_mesh_2d(8, scan_axis=3)
+
+
+def test_driver_dryrun_local_8():
+    """The exact body the driver gate runs, on the 8-device conftest mesh."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _dryrun_local
+
+    _dryrun_local(8)

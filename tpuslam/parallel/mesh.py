@@ -31,6 +31,13 @@ Array = jax.Array
 def make_mesh(n_devices: int | None = None, axis: str = "scan") -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
+    if len(devs) < n:
+        raise ValueError(
+            f"make_mesh({n}) needs {n} devices but the backend exposes "
+            f"{len(devs)}; force a virtual CPU platform with "
+            f"JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_"
+            f"device_count={n} (before JAX backend init)"
+        )
     return Mesh(devs[:n], (axis,))
 
 
@@ -142,7 +149,16 @@ def make_mesh_2d(
 
     devs = jax.devices()
     n = n_devices or len(devs)
+    if len(devs) < n:
+        raise ValueError(
+            f"make_mesh_2d({n}) needs {n} devices but the backend exposes "
+            f"{len(devs)}; force a virtual CPU platform with "
+            f"JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_"
+            f"device_count={n} (before JAX backend init)"
+        )
     sa = scan_axis or max(1, n // 2)
+    if n % sa != 0:
+        raise ValueError(f"scan_axis={sa} does not divide n_devices={n}")
     return Mesh(_np.asarray(devs[:n]).reshape(sa, n // sa), axes)
 
 
