@@ -167,3 +167,53 @@ def test_occupancy_grid_resolution_override():
     spec, img = m.occupancy_grid(resolution=0.1)
     assert spec.resolution == 0.1
     assert img.shape == spec.shape
+
+
+def test_near_chains_link_revisited_territory():
+    """AddEdges parity (Mapper.cpp:902-973): LinkNearChains + weighted-mean
+    fusion must run for EVERY scan, not just the first of a sensor.
+
+    A trajectory that keeps circling accumulates near-chain edges once the
+    first loop closure makes old territory graph-reachable; under the
+    round-1 bug (near chains nested in the first-scan branch) these counters
+    stayed at zero forever."""
+    rng = np.random.default_rng(11)
+    m = KartoMapper(CFG, max_scans=128)
+    radius = 1.6
+    true = np.array([radius, 0.0, math.pi / 2])
+    odom = true.copy()
+    for i in range(80):  # ~2 full loops
+        m.process(scan_at(true), odom, time=0.0)
+        dth = 2 * math.pi / 40
+        step = np.array([radius * dth, 0.0, dth])
+        true = _np_compose(true, step)
+        odom = _np_compose(odom, step + rng.normal(0, [0.01, 0.01, 0.005]))
+    assert m.stats["loop_closures"] >= 1
+    # re-entered territory gains near-chain constraints...
+    assert m.stats["near_chain_links"] >= 1, m.stats
+    # ...and every matched scan went through the weighted-mean fusion
+    # (the running-chain mean always populates the fusion set)
+    assert m.stats["pose_fusions"] == len(m.records) - 1, m.stats
+    # fused + optimized poses stay globally consistent under noise
+    n = len(m.records)
+    # long-range edges beyond what loop closures alone account for
+    long_edges = [e for e in m.edges if abs(e[0] - e[1]) > 5]
+    assert len(long_edges) >= m.stats["loop_closures"]
+
+
+def test_weighted_mean_beats_single_match():
+    """ComputeWeightedMean (Mapper.cpp:1288-1330): fusing a noisy
+    low-confidence match with an accurate high-confidence one must land
+    closer to truth than the noisy match alone."""
+    m = KartoMapper(CFG, max_scans=4)
+    truth = np.array([1.0, 2.0, 0.3])
+    noisy = truth + np.array([0.2, -0.15, 0.05])
+    tight = truth + np.array([0.01, 0.005, -0.002])
+    fused = m._weighted_mean(
+        [noisy, tight],
+        [np.diag([0.1, 0.1, 0.05]), np.diag([1e-4, 1e-4, 1e-4])],
+    )
+    assert np.linalg.norm(fused[:2] - truth[:2]) < np.linalg.norm(
+        noisy[:2] - truth[:2]
+    )
+    assert abs(fused[0] - truth[0]) < 0.02

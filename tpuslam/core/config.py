@@ -175,7 +175,10 @@ class KartoConfig:
     loop_match_minimum_response_fine: float = 0.8  # yaml outdoor: 0.45
 
     # scan matcher shaping (Mapper.cpp:309-523)
-    distance_variance_penalty: float = 0.3  # squared internally
+    # penalty variances are the UNSQUARED reference/YAML values; the matcher
+    # squares them at consumption (match/correlative.py), mirroring the
+    # reference's setParam* math::Square at set-time (Mapper.cpp:1921-1926)
+    distance_variance_penalty: float = 0.3
     angle_variance_penalty: float = 0.349  # rad (yaml gives 0.1 "degrees")
     fine_search_angle_offset: float = 0.00349
     coarse_search_angle_offset: float = 0.349

@@ -65,6 +65,10 @@ class CorrelativeSpec:
     coarse_angle_offset: float = 0.349
     coarse_angle_resolution: float = 0.0349
     fine_angle_offset: float = 0.00349
+    # penalty variances carry the UNSQUARED reference/YAML-facing values
+    # (0.3 m, 20 deg); the reference squares them at set-time
+    # (Mapper.cpp:1921-1926 setParam* applies math::Square) and consumes the
+    # squared value (Mapper.cpp:399-414) — we square at consumption instead
     distance_variance_penalty: float = 0.3
     angle_variance_penalty: float = 0.349
     minimum_distance_penalty: float = 0.5
@@ -131,7 +135,11 @@ def find_valid_points(pts: Array, valid: Array, viewpoint: Array) -> Array:
     semantics as two lax.scans.  pts: [B, 2] world points."""
     min_sq = 0.01
 
-    first0 = pts[0]  # reference seeds with the first finite point
+    # the reference seeds with the first FINITE point (its point-readings
+    # vector holds only valid beams, Karto.h:5404-5434); invalid beams here
+    # hold range 0 so pts[0] may be the sensor origin — anchor on the first
+    # valid point instead
+    first0 = pts[jnp.argmax(valid)]
 
     def fwd(carry, inp):
         first = carry
@@ -315,12 +323,13 @@ def _correlate(
     if penalize:
         d2 = (xs[:, None] ** 2 + xs[None, :] ** 2)[..., None]  # [nY, nX, 1]
         dist_pen = jnp.maximum(
-            1.0 - DISTANCE_PENALTY_GAIN * d2 / spec.distance_variance_penalty,
+            1.0
+            - DISTANCE_PENALTY_GAIN * d2 / spec.distance_variance_penalty**2,
             spec.minimum_distance_penalty,
         )
         a2 = jnp.asarray(angle_offsets, jnp.float32) ** 2
         ang_pen = jnp.maximum(
-            1.0 - ANGLE_PENALTY_GAIN * a2 / spec.angle_variance_penalty,
+            1.0 - ANGLE_PENALTY_GAIN * a2 / spec.angle_variance_penalty**2,
             spec.minimum_angle_penalty,
         )[None, None, :]
         resp = jnp.where(resp > 0.0, resp * dist_pen * ang_pen, resp)

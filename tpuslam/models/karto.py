@@ -96,15 +96,17 @@ class KartoMapper:
         self,
         cfg: KartoConfig,
         max_scans: int = 2048,
-        loop_chain_cap: int = 128,
         events=None,
     ):
         """events: optional tpuslam.utils.events.EventBus — receives the
         reference's MapperListener stream (loop_closure_check,
-        begin/end_loop_closure, poses_corrected; Mapper.cpp:2142-2218)."""
+        begin/end_loop_closure, poses_corrected; Mapper.cpp:2142-2218).
+
+        Chain capacities are auto-sized (power-of-two buckets, _chain_cap)
+        so every chain — near, loop coarse, loop fine — is matched whole,
+        exactly as the reference does."""
         self.cfg = cfg
         self.max_scans = max_scans
-        self.loop_chain_cap = loop_chain_cap
         self.events = events
 
         self.seq_spec = CorrelativeSpec(
@@ -150,6 +152,13 @@ class KartoMapper:
         self.edges: list[tuple[int, int, np.ndarray, np.ndarray]] = []
         self.adj: dict[int, set[int]] = {}
         self.last_by_sensor: dict[str, int] = {}
+        # observability counters (the reference exposes these only as
+        # FireLoopClosureCheck log strings)
+        self.stats = {
+            "near_chain_links": 0,  # accepted LinkNearChains matches
+            "pose_fusions": 0,  # ComputeWeightedMean writebacks
+            "loop_closures": 0,
+        }
 
     # ------------------------------------------------------------- helpers
     def _num(self) -> int:
@@ -167,9 +176,23 @@ class KartoMapper:
             [p[0] + c * m[0] - s * m[1], p[1] + s * m[0] + c * m[1]]
         )
 
+    @staticmethod
+    def _chain_cap(n: int, floor: int = 8) -> int:
+        """Next power-of-two capacity >= n: full chains are matched whole
+        (the reference never truncates, Mapper.cpp:1015-1016) while keeping
+        the set of compiled matcher shapes logarithmic."""
+        cap = floor
+        while cap < n:
+            cap *= 2
+        return cap
+
     def _gather_chain(self, ids: list[int], cap: int):
         """Pad a scan chain to ``cap`` for the static-shape matcher."""
-        ids = ids[:cap]
+        if len(ids) > cap:
+            raise ValueError(
+                f"chain of {len(ids)} scans exceeds capacity {cap}; pass "
+                f"cap=None to _match for an auto-sized capacity"
+            )
         idx = jnp.asarray(
             np.pad(np.asarray(ids, np.int32), (0, cap - len(ids))), jnp.int32
         )
@@ -186,8 +209,10 @@ class KartoMapper:
 
     def _match(
         self, spec, sid: int, center: np.ndarray, chain: list[int],
-        cap: int, penalize: bool, refine: bool,
+        cap: int | None, penalize: bool, refine: bool,
     ):
+        if cap is None:
+            cap = self._chain_cap(len(chain))
         wpts, valid = self._gather_chain(chain, cap)
         res = match_scan(
             spec,
@@ -385,10 +410,16 @@ class KartoMapper:
 
         loop_closed = False
         if cfg.use_scan_matching:
-            # 4. edges (AddEdges, Mapper.cpp:902-973)
+            # 4. edges (AddEdges, Mapper.cpp:902-973).  Structure mirrors the
+            # reference exactly: previous-scan link, then EITHER the
+            # first-scan-of-sensor cross-sensor links OR the running-chain
+            # link (whose mean/cov joins the fusion set), then — for EVERY
+            # scan — LinkNearChains and the covariance-weighted mean fusion.
             means, covs = [], []
             if last_id is not None:
                 self._add_edge(last_id, sid, corrected, cov)
+                # running-chain link; its match result enters the fusion set
+                # (Mapper.cpp:956-962)
                 means.append(corrected.copy())
                 covs.append(cov)
                 self._link_chain_to_scan(running, sid, corrected, cov)
@@ -403,7 +434,7 @@ class KartoMapper:
                         sid,
                         self.poses[sid],
                         [x for x in oscans if x != sid],
-                        cfg.scan_buffer_size,
+                        None,
                         penalize=True,
                         refine=True,
                     )
@@ -412,25 +443,29 @@ class KartoMapper:
                         means.append(mean_o)
                         covs.append(cov_o)
 
-                # near chains
-                for chain in self._find_near_chains(sid):
-                    if len(chain) < cfg.loop_match_minimum_chain_size:
-                        continue
-                    mean_c, resp_c, cov_c = self._match(
-                        self.seq_spec,
-                        sid,
-                        self.poses[sid],
-                        chain,
-                        cfg.scan_buffer_size,
-                        penalize=False,
-                        refine=True,
-                    )
-                    if resp_c > cfg.link_match_minimum_response_fine - 1e-9:
-                        means.append(mean_c)
-                        covs.append(cov_c)
-                        self._link_chain_to_scan(chain, sid, mean_c, cov_c)
-                if means:
-                    self.poses[sid] = self._weighted_mean(means, covs)
+            # near chains, unconditionally (LinkNearChains, Mapper.cpp:965;
+            # chains containing sid are invalid, match is unpenalized)
+            for chain in self._find_near_chains(sid):
+                if len(chain) < cfg.loop_match_minimum_chain_size:
+                    continue
+                mean_c, resp_c, cov_c = self._match(
+                    self.seq_spec,
+                    sid,
+                    self.poses[sid],
+                    chain,
+                    None,
+                    penalize=False,
+                    refine=True,
+                )
+                if resp_c > cfg.link_match_minimum_response_fine - 1e-9:
+                    means.append(mean_c)
+                    covs.append(cov_c)
+                    self._link_chain_to_scan(chain, sid, mean_c, cov_c)
+                    self.stats["near_chain_links"] += 1
+            # multi-match fusion (ComputeWeightedMean, Mapper.cpp:969-972)
+            if means:
+                self.poses[sid] = self._weighted_mean(means, covs)
+                self.stats["pose_fusions"] += 1
 
             # 5. running window maintenance (Mapper.h:1356-1385)
             running.append(sid)
@@ -458,41 +493,52 @@ class KartoMapper:
         return ProcessResult(True, self.poses[sid].copy(), response, loop_closed)
 
     # --------------------------------------------------------- loop closure
-    def _find_possible_loop_chains(
-        self, sid: int, sensor: str
-    ) -> list[list[int]]:
-        """FindPossibleLoopClosure (Mapper.cpp:1333-1394), all chains of the
-        given sensor's scan history."""
+    def _find_possible_loop_closure(
+        self, sid: int, sensor: str, start: int
+    ) -> tuple[list[int], int]:
+        """FindPossibleLoopClosure (Mapper.cpp:1333-1394): the NEXT candidate
+        chain of the sensor's history, resuming from scan index ``start``.
+
+        Returns (chain, next_start).  Re-evaluated after every accepted
+        closure so remaining candidates use the optimizer-corrected poses
+        (the reference's while/rStartNum structure, Mapper.cpp:984-1048)."""
         cfg = self.cfg
         ref = self._barycenter(sid)
         near = self._find_near_linked(sid, cfg.loop_search_maximum_distance)
-        chains = []
+        scans = self.sensor_scans.get(sensor, [])
         chain: list[int] = []
-        for cand in [x for x in self.sensor_scans.get(sensor, []) if x != sid]:
+        i = start
+        while i < len(scans):
+            cand = scans[i]
+            i += 1
             d2 = float(np.sum((self._barycenter(cand) - ref) ** 2))
             if d2 < cfg.loop_search_maximum_distance**2 + 1e-9:
-                if cand in near:
+                # a near-linked scan (or sid itself, which is at distance 0
+                # and near-linked by its running chain) breaks the chain
+                if cand == sid or cand in near:
                     chain = []
                 else:
                     chain.append(cand)
             else:
                 if len(chain) >= cfg.loop_match_minimum_chain_size:
-                    chains.append(chain)
+                    return chain, i
                 chain = []
         if len(chain) >= cfg.loop_match_minimum_chain_size:
-            chains.append(chain)
-        return chains
+            return chain, i
+        return [], i
 
     def _try_close_loop(self, sid: int, sensor: str) -> bool:
         cfg = self.cfg
         closed = False
-        for chain in self._find_possible_loop_chains(sid, sensor):
+        start = 0
+        chain, start = self._find_possible_loop_closure(sid, sensor, start)
+        while chain:
             best, coarse_resp, cov = self._match(
                 self.loop_spec,
                 sid,
                 self.poses[sid],
                 chain,
-                self.loop_chain_cap,
+                None,
                 penalize=False,
                 refine=False,
             )
@@ -505,17 +551,21 @@ class KartoMapper:
                     var_xx=float(cov[0, 0]),
                     var_yy=float(cov[1, 1]),
                 )
+            # the variance gate compares against the SQUARED parameter
+            # (setParamLoopMatchMaximumVarianceCoarse stores math::Square,
+            # Mapper.cpp:1873, consumed at 1004-1005)
             if (
                 coarse_resp > cfg.loop_match_minimum_response_coarse
-                and cov[0, 0] < cfg.loop_match_maximum_variance_coarse
-                and cov[1, 1] < cfg.loop_match_maximum_variance_coarse
+                and cov[0, 0] < cfg.loop_match_maximum_variance_coarse**2
+                and cov[1, 1] < cfg.loop_match_maximum_variance_coarse**2
             ):
+                # fine pass matches the FULL chain (Mapper.cpp:1015-1016)
                 fine, fine_resp, fine_cov = self._match(
                     self.seq_spec,
                     sid,
                     best,
                     chain,
-                    cfg.scan_buffer_size,
+                    None,
                     penalize=False,
                     refine=True,
                 )
@@ -529,8 +579,10 @@ class KartoMapper:
                     self._link_chain_to_scan(chain, sid, fine, fine_cov)
                     self.correct_poses()
                     closed = True
+                    self.stats["loop_closures"] += 1
                     if self.events is not None:
                         self.events.fire("end_loop_closure", scan=sid)
+            chain, start = self._find_possible_loop_closure(sid, sensor, start)
         return closed
 
     def correct_poses(self):
