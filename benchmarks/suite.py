@@ -8,6 +8,8 @@ Metrics (all on the default accelerator):
 - plicp_matches_per_sec         batched PL-ICP scan pairs
 - icp_matches_per_sec           batched point-to-point ICP scan pairs
 - correlative_matches_per_sec   karto sequential MatchScan (coarse+fine)
+- loop_match_per_sec            karto loop matcher at the outdoor 15 m
+                                window (FFT response path)
 - grid_cell_updates_per_sec     hector log-odds scan rasterization
 - solver_edge_updates_per_sec   pose-graph LM+PCG throughput
 """
@@ -136,6 +138,36 @@ def bench_correlative(iters):
     emit("correlative_matches_per_sec", 1.0 / dt, "matches/s")
 
 
+def bench_loop_match(iters):
+    """Outdoor loop matcher at the reference's real operating point:
+    15 m @ 0.1 m window, 50 m range threshold, 0.3 smear
+    (mapper_params_outdoor.yaml:33-37), 1081-beam scan vs a 128-scan
+    chain — the FFT cross-correlation response path."""
+    import jax.numpy as jnp
+
+    from tpuslam.match.correlative import CorrelativeSpec, match_scan
+
+    spec = CorrelativeSpec(resolution=0.1, search_dim=15.0,
+                           smear_deviation=0.3, range_threshold=50.0)
+    rng = np.random.default_rng(0)
+    nb, chain = 1081, 128
+    angles = np.linspace(-2.35, 2.35, nb)
+    r = 20.0 + 5 * np.sin(3 * angles)
+    local = np.stack([r * np.cos(angles), r * np.sin(angles)], -1)
+    base = local[None] + rng.normal(0, 0.05, (chain, nb, 2))
+    local = jnp.asarray(local, jnp.float32)
+    valid = jnp.ones(nb, bool)
+    base = jnp.asarray(base, jnp.float32)
+    bvalid = jnp.ones((chain, nb), bool)
+
+    def one():
+        return match_scan(spec, jnp.zeros(3), local, valid, base, bvalid,
+                          penalize=False, refine=False).pose
+
+    dt = timed(one, iters=iters)
+    emit("loop_match_per_sec", 1.0 / dt, "matches/s")
+
+
 def bench_grid(batch, iters):
     import jax
     import jax.numpy as jnp
@@ -198,6 +230,7 @@ def main():
     bench_plicp(batch, iters)
     bench_icp(batch, iters)
     bench_correlative(iters)
+    bench_loop_match(iters)
     bench_grid(64 if args.quick else 256, iters)
     bench_solver(iters)
 

@@ -248,3 +248,71 @@ def test_response_expansion_fires_on_zero_coarse():
     assert float(res_on.response) > 0.5, float(res_on.response)
     got_th = float(res_on.pose[2])
     assert abs(got_th - np.pi / 6) < 0.05, got_th
+
+
+def test_fft_response_path_matches_patch_exactly():
+    """The FFT cross-correlation response path rounds sums back to the
+    0.01-integer lattice, so responses, tie-averaged poses, and covariances
+    must be bit-comparable to patch accumulation."""
+    import dataclasses
+
+    spec_p = dataclasses.replace(SPEC, response_method="patch")
+    spec_f = dataclasses.replace(SPEC, response_method="fft")
+    pts, valid = scan_pts([0.1, -0.05, 0.04])
+    base, bvalid = world_pts(np.zeros(3))
+    for penalize in (False, True):
+        rp = match_scan(spec_p, jnp.zeros(3), pts, valid, base[None],
+                        bvalid[None], penalize=penalize, refine=True)
+        rf = match_scan(spec_f, jnp.zeros(3), pts, valid, base[None],
+                        bvalid[None], penalize=penalize, refine=True)
+        np.testing.assert_allclose(np.asarray(rp.pose), np.asarray(rf.pose),
+                                   atol=1e-6)
+        assert abs(float(rp.response) - float(rf.response)) < 1e-5
+        np.testing.assert_allclose(np.asarray(rp.covariance),
+                                   np.asarray(rf.covariance), atol=1e-4)
+
+
+def test_fft_size_is_5_smooth():
+    from tpuslam.match.correlative import _fft_size
+
+    for n in (1, 7, 100, 1229, 4097):
+        m = _fft_size(n)
+        assert m >= n
+        for p in (2, 3, 5):
+            while m % p == 0:
+                m //= p
+        assert m == 1
+
+
+def test_outdoor_loop_geometry_runs():
+    """The reference's real loop operating point (15 m @ 0.1 m window, 50 m
+    range, mapper_params_outdoor.yaml:33-37) must run and recover an offset
+    — the round-1 gap was that this geometry was never exercised."""
+    spec = CorrelativeSpec(resolution=0.1, search_dim=15.0,
+                           smear_deviation=0.3, range_threshold=50.0)
+    assert spec.grid_size == 1151
+    rng = np.random.default_rng(3)
+    nb, chain = 541, 8  # trimmed beams/chain: CPU test budget
+    angs = np.linspace(-2.35, 2.35, nb)
+    r = 18.0 + 4 * np.sin(2 * angs)
+    local = np.stack([r * np.cos(angs), r * np.sin(angs)], -1)
+    true_off = np.array([1.3, -2.1, 0.05])
+    c, s = math.cos(true_off[2]), math.sin(true_off[2])
+    rot = np.array([[c, -s], [s, c]])
+    base = (local @ rot.T + true_off[:2])[None] + rng.normal(
+        0, 0.02, (chain, nb, 2)
+    )
+    res = match_scan(
+        spec,
+        jnp.zeros(3),
+        jnp.asarray(local, jnp.float32),
+        jnp.ones(nb, bool),
+        jnp.asarray(base, jnp.float32),
+        jnp.ones((chain, nb), bool),
+        penalize=False,
+        refine=True,
+    )
+    got = np.asarray(res.pose)
+    assert np.allclose(got[:2], true_off[:2], atol=0.15), got
+    assert abs(got[2] - true_off[2]) < 0.05
+    assert float(res.response) > 0.35  # outdoor coarse acceptance threshold

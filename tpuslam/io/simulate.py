@@ -37,6 +37,29 @@ def world_with_boxes(width: float = 12.0, height: float = 10.0) -> np.ndarray:
     return np.concatenate(segs, axis=0)
 
 
+def outdoor_world(width: float = 36.0, height: float = 28.0) -> np.ndarray:
+    """A large outdoor-scale courtyard: the operating point of the lesson6
+    outdoor dataset (50 m range, 15 m loop windows) needs a world where
+    trajectories legitimately separate by >15 m before re-entering."""
+    segs = [rect_room(width, height)]
+    boxes = [
+        (-11.0, -8.0, 3.0), (-10.5, 6.5, 2.2), (0.0, 0.0, 4.0),
+        (9.0, -7.5, 2.6), (11.0, 7.0, 3.4), (4.5, 9.0, 1.8),
+        (-4.0, -10.5, 2.0), (13.0, -1.0, 1.6),
+    ]
+    for cx, cy, s in boxes:
+        c = np.array(
+            [
+                [cx - s / 2, cy - s / 2],
+                [cx + s / 2, cy - s / 2],
+                [cx + s / 2, cy + s / 2],
+                [cx - s / 2, cy + s / 2],
+            ]
+        )
+        segs.append(np.stack([c, np.roll(c, -1, axis=0)], axis=1))
+    return np.concatenate(segs, axis=0)
+
+
 def cast_rays(
     segments: np.ndarray,
     origin: np.ndarray,

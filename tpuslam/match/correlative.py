@@ -78,6 +78,13 @@ class CorrelativeSpec:
     # divides by ALL readings, NaN ones included, depressing responses for
     # lossy scans); False (default) divides by the valid-beam count
     count_invalid_in_denominator: bool = False
+    # response-surface computation: "patch" sums per-point grid slices
+    # (fast for small windows), "fft" cross-correlates the grid with the
+    # per-angle point indicator (fast + memory-flat for 15 m loop windows),
+    # "auto" picks by intermediate size.  Both are numerically EXACT: grid
+    # values are multiples of 0.01, so FFT sums are rounded back to the
+    # integer lattice, preserving the reference's response-tie averaging.
+    response_method: str = "auto"
 
     # ---- derived static sizes (Mapper.cpp:147-160) ----
     @property
@@ -281,6 +288,42 @@ def _correlate(
     n_angles = oy.shape[0]
     b = local_pts.shape[0]
 
+    patch_bytes = n_angles * b * size * size * 4
+    method = spec.response_method
+    if method == "auto":
+        method = "fft" if patch_bytes > 192 * 1024 * 1024 else "patch"
+
+    if method == "fft":
+        # Cross-correlation via FFT: response_sum(dy, dx) =
+        #   sum_p grid[p_cell + (dy, dx)]
+        # == correlate(point_indicator, grid) read at the candidate shifts.
+        # The grid holds multiples of 0.01 (the quantized smear kernel), so
+        # scaling by 100 makes every true sum an integer <= 100*B < 2^24;
+        # rounding the FFT output to the nearest integer restores EXACT
+        # patch-accumulation numerics (ties average identically).
+        n_fft = _fft_size(g + half + 1)
+        iy = base_y + oy  # [nA, B] absolute grid cells of the scan points
+        ix = base_x + ox
+        ok = valid[None, :] & (iy >= 0) & (ix >= 0) & (iy < g) & (ix < g)
+        flat = jnp.where(ok, iy * n_fft + ix, n_fft * n_fft)
+        ind = jnp.zeros((n_angles, n_fft * n_fft), jnp.float32)
+        ind = jax.vmap(lambda z, f: z.at[f].add(1.0, mode="drop"))(ind, flat)
+        ind = ind.reshape(n_angles, n_fft, n_fft)
+        gridi = jnp.round(grid * 100.0)
+        gf = jnp.fft.rfft2(gridi, (n_fft, n_fft))
+        corr = jnp.fft.irfft2(
+            jnp.conj(jnp.fft.rfft2(ind)) * gf[None], (n_fft, n_fft)
+        )  # [nA, N, N]; corr[a, dy % N, dx % N] = sum at shift (dy, dx)
+        shifts = (jnp.arange(-half, half + 1)) % n_fft
+        patches = corr[:, shifts[:, None], shifts[None, :]]
+        patches = jnp.round(patches) * 0.01
+        dyc = half + (cand_y - base_y)
+        dxc = half + (cand_x - base_x)
+        resp = patches[:, dyc[:, None], dxc[None, :]] / denom
+        return _finish_correlate(
+            spec, resp, center_pose, xs, angs, angle_offsets, penalize
+        )
+
     def slice_sum(oy_f, ox_f, valid_f):
         """Masked sum of [S, S] grid slices for a flat batch of anchors."""
         ay = base_y + oy_f - half
@@ -318,6 +361,42 @@ def _correlate(
     dyc = half + (cand_y - base_y)  # [nY] indices into the patch
     dxc = half + (cand_x - base_x)
     resp = patches[:, dyc[:, None], dxc[None, :]] / denom  # [nA, nY, nX]
+    return _finish_correlate(
+        spec, resp, center_pose, xs, angs, angle_offsets, penalize
+    )
+
+
+def _fft_size(n: int) -> int:
+    """Smallest 5-smooth (2^a 3^b 5^c) size >= n for fast FFTs."""
+    best = 1
+    while best < n:
+        best *= 2
+    m = best
+    p3 = 1
+    while p3 <= best:
+        p5 = 1
+        while p3 * p5 <= best:
+            p2 = 1
+            while p2 * p3 * p5 < n:
+                p2 *= 2
+            cand = p2 * p3 * p5
+            if n <= cand < m:
+                m = cand
+            p5 *= 5
+        p3 *= 3
+    return m
+
+
+def _finish_correlate(
+    spec: CorrelativeSpec,
+    resp: Array,  # [nA, nY, nX] normalized responses
+    center_pose: Array,
+    xs: Array,  # [nXY] candidate offsets (meters)
+    angs: Array,  # [nA] absolute candidate angles
+    angle_offsets: np.ndarray,
+    penalize: bool,
+):
+    """Penalties + tie-averaged best pose (shared by patch and fft paths)."""
     resp = jnp.moveaxis(resp, 0, -1)  # [nY, nX, nA]
 
     if penalize:

@@ -73,6 +73,119 @@ def _np_relative(a, b):
     return _np_compose(_np_inverse(a), b)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("spec", "max_range", "do_match"),
+    donate_argnums=(1, 2),
+)
+def _fused_seq_step(
+    spec,
+    pts_store,  # [M, B, 2] device-resident scan store (donated)
+    valid_store,  # [M, B] (donated)
+    sid,  # scalar int32
+    scan: Scan,
+    center,  # [3] odometry-carried prediction
+    chain_idx,  # [cap] running-chain ids (zero-padded)
+    chain_len,  # scalar int32
+    chain_poses,  # [cap, 3]
+    max_range: float,
+    do_match: bool,
+):
+    """The whole per-scan device side of Mapper::Process as ONE program:
+    polar→cartesian + store write + barycenter mean + running-chain gather +
+    correlative MatchScan (Mapper.cpp:2037-2045).  One dispatch and one
+    small host fetch per scan instead of five (the round-1 pipeline was
+    dispatch/compile-bound on tunneled PJRT backends)."""
+    pts, valid = scan_to_points(scan)
+    valid = valid & (scan.ranges <= max_range) & (scan.ranges > 0.0)
+    pts_store = pts_store.at[sid].set(pts)
+    valid_store = valid_store.at[sid].set(valid)
+    mean_local = jnp.sum(
+        jnp.where(valid[:, None], pts, 0.0), axis=0
+    ) / jnp.maximum(jnp.sum(valid), 1)
+    if not do_match:
+        return (
+            pts_store,
+            valid_store,
+            mean_local,
+            jnp.zeros(3, jnp.float32),
+            jnp.float32(0.0),
+            jnp.eye(3, dtype=jnp.float32),
+        )
+    cap = chain_idx.shape[0]
+    cpts = jnp.take(pts_store, chain_idx, axis=0)
+    cvalid = jnp.take(valid_store, chain_idx, axis=0)
+    cvalid = cvalid & (jnp.arange(cap) < chain_len)[:, None]
+    wpts = se2.transform_points(chain_poses, cpts)
+    res = match_scan(
+        spec, center, pts, valid, wpts, cvalid, penalize=True, refine=True
+    )
+    return pts_store, valid_store, mean_local, res.pose, res.response, res.covariance
+
+
+@partial(
+    jax.jit,
+    static_argnames=("spec", "max_range"),
+    donate_argnums=(1, 2, 3),
+)
+def _fused_batch_steps(
+    spec,
+    pts_store,  # [M, B, 2] (donated)
+    valid_store,  # [M, B] (donated)
+    poses_store,  # [M, 3] matched/corrected sensor poses (donated)
+    sid0,  # int32: state id of the first scan in the batch
+    scans: Scan,  # [K, B] stacked scans
+    deltas,  # [K, 3] odometry increments rel. the previous matched pose
+    chain_idx,  # [K, cap] running-chain ids per scan
+    chain_len,  # [K]
+    start_pose,  # [3] corrected pose of the scan before the batch
+    max_range: float,
+):
+    """K sequential Mapper::Process device steps in ONE dispatch.
+
+    The per-scan prediction is ``prev_matched ∘ delta_k`` (the odometry
+    carry, Mapper.cpp:2021-2025) where prev_matched is the previous scan's
+    MATCHED pose — within a batch the host's weighted-mean fusion writeback
+    is deferred to the batch boundary (documented batch-mode semantics; the
+    fusion delta is bounded by the match covariance and is typically mm).
+    One round trip amortizes PJRT dispatch latency over K scans: offline
+    bag throughput is the BASELINE.json north star."""
+    cap = chain_idx.shape[1]
+
+    def body(carry, inp):
+        pts_store, valid_store, poses_store, prev = carry
+        scan, delta, cidx, clen, k = inp
+        sid = sid0 + k
+        pts, valid = scan_to_points(scan)
+        valid = valid & (scan.ranges <= max_range) & (scan.ranges > 0.0)
+        pts_store = pts_store.at[sid].set(pts)
+        valid_store = valid_store.at[sid].set(valid)
+        mean_local = jnp.sum(
+            jnp.where(valid[:, None], pts, 0.0), axis=0
+        ) / jnp.maximum(jnp.sum(valid), 1)
+        center = se2.compose(prev, delta)
+        cpts = jnp.take(pts_store, cidx, axis=0)
+        cvalid = jnp.take(valid_store, cidx, axis=0)
+        cvalid = cvalid & (jnp.arange(cap) < clen)[:, None]
+        cposes = jnp.take(poses_store, cidx, axis=0)
+        wpts = se2.transform_points(cposes, cpts)
+        res = match_scan(
+            spec, center, pts, valid, wpts, cvalid, penalize=True,
+            refine=True,
+        )
+        poses_store = poses_store.at[sid].set(res.pose)
+        carry = (pts_store, valid_store, poses_store, res.pose)
+        return carry, (res.pose, res.response, res.covariance, mean_local)
+
+    k = scans.ranges.shape[0]
+    (pts_store, valid_store, poses_store, _), outs = jax.lax.scan(
+        body,
+        (pts_store, valid_store, poses_store, start_pose),
+        (scans, deltas, chain_idx, chain_len, jnp.arange(k, dtype=jnp.int32)),
+    )
+    return pts_store, valid_store, poses_store, outs
+
+
 class ProcessResult(NamedTuple):
     processed: bool
     pose: np.ndarray  # [3] corrected pose after matching/optimization
@@ -373,35 +486,61 @@ class KartoMapper:
             ):
                 return ProcessResult(False, corrected, 0.0, False)
 
-        # stage the scan's points on device
+        # 3. stage the scan on device + sequential match against this
+        #    sensor's running scans (Mapper.cpp:2037-2045), as ONE fused
+        #    device program with one host fetch
         sid = self._num()
-        pts, valid = scan_to_points(scan)
-        valid = valid & (scan.ranges <= cfg.use_scan_range) & (
-            scan.ranges > 0.0
+        do_match = bool(cfg.use_scan_matching and last_id is not None)
+        cap = cfg.scan_buffer_size
+        idx = np.zeros(cap, np.int32)
+        idx[: len(running)] = running
+        chain_poses = np.zeros((cap, 3), np.float32)
+        if running:
+            chain_poses[: len(running)] = self.poses[running]
+        (
+            self._pts,
+            self._valid,
+            mean_local,
+            best,
+            response,
+            dcov,
+        ) = _fused_seq_step(
+            self.seq_spec,
+            self._pts,
+            self._valid,
+            jnp.int32(sid),
+            scan,
+            jnp.asarray(corrected, jnp.float32),
+            jnp.asarray(idx),
+            jnp.int32(len(running)),
+            jnp.asarray(chain_poses),
+            max_range=cfg.use_scan_range,
+            do_match=do_match,
         )
-        self._pts = self._pts.at[sid].set(pts)
-        self._valid = self._valid.at[sid].set(valid)
-        mean_local = np.asarray(
-            jnp.sum(jnp.where(valid[:, None], pts, 0.0), axis=0)
-            / jnp.maximum(jnp.sum(valid), 1)
+        mean_local, best, response, dcov = jax.device_get(
+            (mean_local, best, response, dcov)
+        )
+        mean_local = np.asarray(mean_local)
+        if do_match:
+            corrected = np.asarray(best, np.float64)
+            response = float(response)
+            cov = np.asarray(dcov, np.float64)
+        else:
+            response = 1.0
+            cov = np.eye(3)
+
+        return self._finish_scan(
+            sid, corrected, response, cov, mean_local, odom_pose, time,
+            sensor, running, last_id,
         )
 
-        # 3. sequential match against this sensor's running scans
-        #    (Mapper.cpp:2037-2045)
-        response = 1.0
-        cov = np.eye(3)
-        if cfg.use_scan_matching and last_id is not None:
-            best, response, cov = self._match(
-                self.seq_spec,
-                sid,
-                corrected,
-                running,
-                cfg.scan_buffer_size,
-                penalize=True,
-                refine=True,
-            )
-            corrected = best
-
+    def _finish_scan(
+        self, sid, corrected, response, cov, mean_local, odom_pose, time,
+        sensor, running, last_id,
+    ) -> ProcessResult:
+        """Host bookkeeping after the device match: record + AddEdges +
+        window maintenance + loop closure (Mapper::Process steps 4-6)."""
+        cfg = self.cfg
         self.poses[sid] = corrected
         self.records.append(
             _ScanRecord(sid, odom_pose, time, mean_local, sensor)
@@ -491,6 +630,155 @@ class KartoMapper:
 
         self.last_by_sensor[sensor] = sid
         return ProcessResult(True, self.poses[sid].copy(), response, loop_closed)
+
+    # --------------------------------------------------------- batch process
+    def process_batch(
+        self,
+        scans: list[Scan],
+        odom_poses,
+        times=None,
+        sensor: str = "laser0",
+        batch_size: int = 16,
+    ) -> list[ProcessResult]:
+        """Offline (bag-playback) processing: the device side of up to
+        ``batch_size`` consecutive scans runs as ONE dispatch
+        (:func:`_fused_batch_steps`), amortizing PJRT round-trip latency —
+        the TPU-native shape of the reference's rosbag pipeline.
+
+        Semantics vs scan-by-scan :meth:`process` (documented deltas, all
+        bounded by one batch):
+        - within a batch, the running chain a scan matches against is the
+          last ``scan_buffer_size`` accepted scans by COUNT, and chain poses
+          are the raw MATCHED poses (weighted-mean fusion, span-rule window
+          trimming, and loop-closure corrections apply on the host after the
+          device batch, so they take effect from the next batch on);
+        - gating (HasMovedEnough) is odometry/time-only (as the reference's,
+          Mapper.cpp:2087-2120) and is applied exactly, per scan.
+        """
+        cfg = self.cfg
+        n_in = len(scans)
+        odom_poses = [np.asarray(p, np.float64) for p in odom_poses]
+        times = (
+            [float(t) for t in times] if times is not None else [0.0] * n_in
+        )
+        results: list[ProcessResult] = [None] * n_in  # type: ignore
+        pending: list[int] = []  # input indices accepted, awaiting flush
+        # shadow of the last accepted scan (may still be pending)
+        last_odom = None
+        last_time = None
+        if (lid := self.last_by_sensor.get(sensor)) is not None:
+            last_odom = self.records[lid].odom_pose
+            last_time = self.records[lid].time
+
+        def flush():
+            nonlocal last_odom, last_time
+            if not pending:
+                return
+            k = len(pending)
+            sid0 = self._num()
+            cap = cfg.scan_buffer_size
+            running = self.running_by_sensor.setdefault(sensor, [])
+            last_id = self.last_by_sensor[sensor]
+
+            batch = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *[scans[i] for i in pending]
+            )
+            deltas = np.zeros((k, 3), np.float32)
+            prev_odom = self.records[last_id].odom_pose
+            for j, i in enumerate(pending):
+                deltas[j] = _np_relative(prev_odom, odom_poses[i])
+                prev_odom = odom_poses[i]
+            chain_idx = np.zeros((k, cap), np.int32)
+            chain_len = np.zeros(k, np.int32)
+            for j in range(k):
+                ids = (running + [sid0 + x for x in range(j)])[-cap:]
+                chain_idx[j, : len(ids)] = ids
+                chain_len[j] = len(ids)
+            (
+                self._pts,
+                self._valid,
+                _,
+                (poses_k, resp_k, cov_k, mean_k),
+            ) = _fused_batch_steps(
+                self.seq_spec,
+                self._pts,
+                self._valid,
+                jnp.asarray(self.poses[: self.max_scans], jnp.float32),
+                jnp.int32(sid0),
+                batch,
+                jnp.asarray(deltas),
+                jnp.asarray(chain_idx),
+                jnp.asarray(chain_len),
+                jnp.asarray(self.poses[last_id], jnp.float32),
+                max_range=cfg.use_scan_range,
+            )
+            poses_k, resp_k, cov_k, mean_k = jax.device_get(
+                (poses_k, resp_k, cov_k, mean_k)
+            )
+            for j, i in enumerate(pending):
+                sid = sid0 + j
+                lid_j = last_id if j == 0 else sid - 1
+                results[i] = self._finish_scan(
+                    sid,
+                    np.asarray(poses_k[j], np.float64),
+                    float(resp_k[j]),
+                    np.asarray(cov_k[j], np.float64),
+                    np.asarray(mean_k[j]),
+                    odom_poses[i],
+                    times[i],
+                    sensor,
+                    running,
+                    lid_j,
+                )
+                self.last_by_sensor[sensor] = sid
+            pending.clear()
+
+        for i in range(n_in):
+            if self._num() + len(pending) >= self.max_scans:
+                results[i] = ProcessResult(False, odom_poses[i], 0.0, False)
+                continue
+            if self.last_by_sensor.get(sensor) is None and not pending:
+                # first scan of the sensor: per-scan path (cross-sensor
+                # links + no matching)
+                results[i] = self.process(
+                    scans[i], odom_poses[i], times[i], sensor
+                )
+                if results[i].processed:
+                    last_odom = odom_poses[i]
+                    last_time = times[i]
+                continue
+            # HasMovedEnough against the last ACCEPTED scan (odom/time only)
+            dt = times[i] - last_time
+            dh = abs(
+                math.atan2(
+                    math.sin(odom_poses[i][2] - last_odom[2]),
+                    math.cos(odom_poses[i][2] - last_odom[2]),
+                )
+            )
+            d2 = float(np.sum((odom_poses[i][:2] - last_odom[:2]) ** 2))
+            if not (
+                dt >= cfg.minimum_time_interval
+                or dh >= cfg.minimum_travel_heading
+                or d2 >= cfg.minimum_travel_distance**2 - 1e-9
+            ):
+                # prediction for the report: carry the last correction
+                results[i] = ProcessResult(False, odom_poses[i], 0.0, False)
+                continue
+            if not cfg.use_scan_matching:
+                flush()
+                results[i] = self.process(
+                    scans[i], odom_poses[i], times[i], sensor
+                )
+                last_odom = odom_poses[i]
+                last_time = times[i]
+                continue
+            pending.append(i)
+            last_odom = odom_poses[i]
+            last_time = times[i]
+            if len(pending) >= batch_size:
+                flush()
+        flush()
+        return results
 
     # --------------------------------------------------------- loop closure
     def _find_possible_loop_closure(
