@@ -10,6 +10,8 @@ Metrics (all on the default accelerator):
 - correlative_matches_per_sec   karto sequential MatchScan (coarse+fine)
 - loop_match_per_sec            karto loop matcher at the outdoor 15 m
                                 window (FFT response path)
+- karto_scans_per_sec           end-to-end karto frontend (batch mode,
+                                device work 1 dispatch / 16 scans)
 - grid_cell_updates_per_sec     hector log-odds scan rasterization
 - solver_edge_updates_per_sec   pose-graph LM+PCG throughput
 """
@@ -168,6 +170,43 @@ def bench_loop_match(iters):
     emit("loop_match_per_sec", 1.0 / dt, "matches/s")
 
 
+def bench_karto_pipeline(n_scans=256):
+    """End-to-end sequential karto frontend throughput (batch mode): stage +
+    match + graph bookkeeping per scan, loop closure off (measured
+    separately by loop_match_per_sec)."""
+    from tpuslam.core.config import KartoConfig
+    from tpuslam.core.scan import make_scan
+    from tpuslam.io.simulate import simulate_scan, world_with_boxes
+    from tpuslam.models.karto import KartoMapper
+
+    segs = world_with_boxes()
+    cfg = KartoConfig(
+        num_beams=180, use_scan_range=6.0, minimum_travel_distance=0.0,
+        minimum_travel_heading=0.0, minimum_time_interval=0.0,
+        scan_buffer_size=20, scan_buffer_maximum_scan_distance=10.0,
+        correlation_search_space_dimension=0.32,
+        correlation_search_space_resolution=0.02,
+        correlation_search_space_smear_deviation=0.04,
+        do_loop_closing=False,
+    )
+    mapper = KartoMapper(cfg, max_scans=2 * n_scans + 64)
+
+    def scan_at(x):
+        r, amin, ainc = simulate_scan(
+            segs, np.array([x, 0.0, 0.0]), num_beams=180, max_range=30.0
+        )
+        return make_scan(r, angle_min=amin, angle_increment=ainc,
+                         range_min=0.1, range_max=30.0, num_beams=180)
+
+    scans = [scan_at(0.002 * i) for i in range(n_scans + 32)]
+    odoms = [np.array([0.002 * i, 0.0, 0.0]) for i in range(n_scans + 32)]
+    mapper.process_batch(scans[:32], odoms[:32], batch_size=16)  # warm
+    t0 = time.perf_counter()
+    mapper.process_batch(scans[32:], odoms[32:], batch_size=16)
+    dt = time.perf_counter() - t0
+    emit("karto_scans_per_sec", n_scans / dt, "scans/s")
+
+
 def bench_grid(batch, iters):
     import jax
     import jax.numpy as jnp
@@ -231,6 +270,7 @@ def main():
     bench_icp(batch, iters)
     bench_correlative(iters)
     bench_loop_match(iters)
+    bench_karto_pipeline(64 if args.quick else 256)
     bench_grid(64 if args.quick else 256, iters)
     bench_solver(iters)
 

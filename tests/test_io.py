@@ -120,3 +120,67 @@ def test_checkpoint_karto_roundtrip(tmp_path):
     assert m2.edges[0][0] == m.edges[0][0]
     assert m2.running_by_sensor == m.running_by_sensor
     assert m2.last_by_sensor == m.last_by_sensor
+
+
+def test_rosbag_roundtrip(tmp_path):
+    """Write a minimal spec-conformant rosbag (LaserScan + Odometry + Imu),
+    read it back, and convert to a ScanLog with interpolated odometry."""
+    from tpuslam.io.rosbag import (
+        bag_to_scanlog,
+        read_bag,
+        serialize_imu,
+        serialize_laser_scan,
+        serialize_odometry,
+        write_bag,
+    )
+
+    rng = np.random.default_rng(0)
+    msgs = []
+    nb = 90
+    for i in range(5):
+        t = 100.0 + 0.1 * i
+        ranges = rng.uniform(1.0, 5.0, nb).astype(np.float32)
+        ranges[3] = np.inf
+        msgs.append(("/scan", "sensor_msgs/LaserScan", t,
+                     serialize_laser_scan(t, ranges, -1.57, 0.035,
+                                          range_min=0.1, range_max=10.0,
+                                          time_increment=1e-4)))
+    for i in range(11):
+        t = 99.95 + 0.05 * i
+        pose = [0.1 * i, 0.02 * i, 0.01 * i]
+        msgs.append(("/odom", "nav_msgs/Odometry", t,
+                     serialize_odometry(t, pose, angular_z=0.2)))
+        msgs.append(("/imu", "sensor_msgs/Imu", t,
+                     serialize_imu(t, [0.0, 0.0, 0.3])))
+
+    for comp in ("none", "bz2"):
+        p = tmp_path / f"tiny_{comp}.bag"
+        write_bag(p, msgs, compression=comp)
+        back = read_bag(p)
+        assert len(back) == len(msgs)
+        log = bag_to_scanlog(p)
+        assert len(log) == 5
+        assert log.num_beams == nb
+        assert np.isinf(log.ranges[0, 3])
+        # odometry interpolated to scan stamps: scan 0 at t=100.0 sits
+        # between odom samples at 99.95 (pose 0.1*1?) -> exact: x=0.1*1.0
+        np.testing.assert_allclose(log.odom[0, 0], 0.1, atol=1e-6)
+        np.testing.assert_allclose(log.odom[2, 0], 0.5, atol=1e-5)
+        np.testing.assert_allclose(log.imu_wz, 0.3, atol=1e-6)
+        assert abs(log.angle_min + 1.57) < 1e-6
+        assert abs(log.time_increment - 1e-4) < 1e-9
+
+    # a ScanLog built from a bag feeds the engines like any other log
+    sc = log.scan(0)
+    assert sc.num_beams == nb
+
+
+def test_rosbag_rejects_non_bag(tmp_path):
+    from tpuslam.io.rosbag import read_bag
+
+    p = tmp_path / "not_a_bag.bag"
+    p.write_bytes(b"#ROSBAG V1.2\nxxxx")
+    import pytest
+
+    with pytest.raises(ValueError, match="not a rosbag v2.0"):
+        read_bag(p)

@@ -217,3 +217,45 @@ def test_weighted_mean_beats_single_match():
         noisy[:2] - truth[:2]
     )
     assert abs(fused[0] - truth[0]) < 0.02
+
+
+def test_add_edge_floors_singular_covariance():
+    """A degenerate (line-plateau) match covariance must not explode the
+    edge precision: eigen-floor caps it at 1e4 per direction."""
+    m = KartoMapper(CFG, max_scans=4)
+    m.poses[0] = np.zeros(3)
+    m.poses[1] = np.array([1.0, 0.0, 0.0])
+    cov = np.array([[0.01, 0.00999, 0.0],
+                    [0.00999, 0.01, 0.0],
+                    [0.0, 0.0, 1e-12]])  # near-singular xy + ~zero theta
+    m._add_edge(0, 1, m.poses[1], cov)
+    _, _, _, prec = m.edges[0]
+    assert np.all(np.linalg.eigvalsh(prec) <= 1e4 + 1.0)
+    assert np.all(np.linalg.eigvalsh(prec) > 0)
+
+
+def test_unlinkable_loop_closure_is_skipped():
+    """A fine loop match whose chain is farther than
+    link_scan_maximum_distance must not reset the pose or run the solver
+    (the reference's solver-owned node estimates make such closures a
+    net no-op, Mapper.cpp:1008-1044 + spa CorrectPoses)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        CFG, loop_search_maximum_distance=8.0, link_scan_maximum_distance=0.3
+    )
+    m = KartoMapper(cfg, max_scans=64)
+    rng = np.random.default_rng(7)
+    radius = 1.6
+    true = np.array([radius, 0.0, math.pi / 2])
+    odom = true.copy()
+    for i in range(46):
+        m.process(scan_at(true), odom, time=0.0)
+        dth = 2 * math.pi / 40
+        step = np.array([radius * dth, 0.0, dth])
+        true = _np_compose(true, step)
+        odom = _np_compose(odom, step + rng.normal(0, [0.01, 0.01, 0.005]))
+    # the 0.3 m link gate rejects cross-circle chains; every accepted
+    # closure must therefore come with a graph edge
+    long_edges = [e for e in m.edges if abs(e[0] - e[1]) > 5]
+    assert len(long_edges) >= m.stats["loop_closures"]

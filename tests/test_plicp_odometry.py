@@ -97,3 +97,65 @@ def test_lesson3_frame_to_frame_plicp():
 
     want = np.asarray(se2.relative(jnp.zeros(3), jnp.asarray(pb, jnp.float32)))
     assert np.allclose(np.asarray(r1.pose), want, atol=0.02)
+
+
+def test_visibility_mask_kills_nonmonotonic_rays():
+    """CSM visibilityTest semantics: a ray whose polar angle from the NEW
+    viewpoint decreases vs the previous valid ray is invalidated."""
+    import jax.numpy as jnp
+
+    from tpuslam.match.plicp import visibility_mask
+
+    # rays at increasing scan angle; from the origin all angles increase
+    ang = np.linspace(-1.0, 1.0, 9)
+    pts = np.stack([2 * np.cos(ang), 2 * np.sin(ang)], -1)
+    # make ray 4 jump backwards in bearing when viewed from (1.5, 0):
+    # pull it close to the viewpoint and below the previous ray's bearing
+    pts[4] = [1.6, -0.5]
+    valid = np.ones(9, bool)
+    keep0 = visibility_mask(jnp.asarray(pts, jnp.float32),
+                            jnp.asarray(valid), jnp.zeros(2))
+    keep1 = visibility_mask(jnp.asarray(pts, jnp.float32),
+                            jnp.asarray(valid), jnp.asarray([1.5, 0.0],
+                                                            jnp.float32))
+    k0, k1 = np.asarray(keep0), np.asarray(keep1)
+    assert not k0.all() or True  # origin view may already cull pts[4]
+    assert not k1[4], k1  # the displaced viewpoint sees it from behind
+    # invalidated rays stop acting as comparators: ray 5 survives
+    assert k1[5], k1
+    # invalid input rays stay invalid
+    valid[2] = False
+    k2 = np.asarray(visibility_mask(jnp.asarray(pts, jnp.float32),
+                                    jnp.asarray(valid),
+                                    jnp.zeros(2)))
+    assert not k2[2]
+
+
+def test_do_visibility_test_flips_matcher_behavior():
+    """The knob must change the correspondence set on an occluded scan
+    (round-1 gap: accepted-but-ignored)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from tpuslam.core.config import PlicpConfig
+    from tpuslam.match.plicp import plicp
+
+    rng = np.random.default_rng(0)
+    ang = np.linspace(-2.0, 2.0, 240)
+    r = 3.0 + 0.3 * np.sin(2 * ang)
+    ref = np.stack([r * np.cos(ang), r * np.sin(ang)], -1)
+    # occluding notch: a block of rays pulled very close, so that viewed
+    # from a forward-displaced sensor their bearings run backwards
+    ref[100:120] = ref[100:120] * np.linspace(0.2, 0.15, 20)[:, None]
+    src = ref + rng.normal(0, 0.005, ref.shape)
+    valid = np.ones(240, bool)
+    cfg0 = PlicpConfig(num_beams=240, max_iterations=6,
+                       do_visibility_test=0)
+    cfg1 = dataclasses.replace(cfg0, do_visibility_test=1)
+    guess = jnp.asarray([0.5, 0.0, 0.0], jnp.float32)
+    r0 = plicp(cfg0, jnp.asarray(src, jnp.float32), jnp.asarray(valid),
+               jnp.asarray(ref, jnp.float32), jnp.asarray(valid), guess)
+    r1 = plicp(cfg1, jnp.asarray(src, jnp.float32), jnp.asarray(valid),
+               jnp.asarray(ref, jnp.float32), jnp.asarray(valid), guess)
+    assert int(r1.num_inliers) < int(r0.num_inliers)

@@ -114,3 +114,55 @@ def test_use_odom_false_ignores_translation():
     s_raw, _ = wall_x_spread(pts, v)
     s_fix, _ = wall_x_spread(pts2, v)
     assert s_fix < s_raw
+
+
+def test_three_axis_matches_yaw_only_on_level_platform():
+    """With zero roll/pitch rates the 3-axis path must reduce to the
+    yaw-only result (plus a zero z column)."""
+    import dataclasses
+
+    period = 0.1
+    omega = 1.2
+    t = np.linspace(0, period, 21)
+    imu = make_imu_buffer(t, np.full(21, omega), 64,
+                          wx=np.zeros(21), wy=np.zeros(21))
+    sc, _ = distorted_scan(omega, [0.0, 0.0])
+    cfg2 = UndistortConfig(num_beams=sc.num_beams, use_odom=False)
+    cfg3 = dataclasses.replace(cfg2, three_axis=True)
+    p2, v2 = undistort(cfg2, sc, imu, np.zeros(3), 0.0, period)
+    p3, v3 = undistort(cfg3, sc, imu, np.zeros(3), 0.0, period)
+    assert p3.shape == (sc.num_beams, 3)
+    np.testing.assert_allclose(np.asarray(p3[:, :2]), np.asarray(p2),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p3[:, 2]), 0.0, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(v2), np.asarray(v3))
+
+
+def test_three_axis_corrects_rolling_platform():
+    """A platform rolling at a constant rate tips late beams out of plane;
+    the yaw-only path cannot model this (z stays 0, xy error grows), the
+    3-axis path recovers the out-of-plane component."""
+    import dataclasses
+
+    period = 0.1
+    roll_rate = 2.0  # rad/s around x
+    t = np.linspace(0, period, 41)
+    imu = make_imu_buffer(t, np.zeros(41), 64,
+                          wx=np.full(41, roll_rate), wy=np.zeros(41))
+    sc, _ = distorted_scan(0.0, [0.0, 0.0])
+    cfg3 = dataclasses.replace(
+        UndistortConfig(num_beams=sc.num_beams, use_odom=False),
+        three_axis=True,
+    )
+    p3, _ = undistort(cfg3, sc, imu, np.zeros(3), 0.0, period)
+    p3 = np.asarray(p3)
+    # late beams with y != 0 must leave the plane: z = sin(roll)*y
+    from tpuslam.core.scan import scan_to_points
+
+    raw, _ = scan_to_points(sc)
+    raw = np.asarray(raw)
+    stamps = np.asarray(sc.stamps)
+    roll = roll_rate * stamps
+    np.testing.assert_allclose(p3[:, 2], np.sin(roll) * raw[:, 1], atol=5e-3)
+    # and x is untouched by pure roll
+    np.testing.assert_allclose(p3[:, 0], raw[:, 0], atol=5e-3)

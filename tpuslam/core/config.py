@@ -73,7 +73,7 @@ class PlicpConfig:
     outliers_maxPerc: float = 0.90
     outliers_adaptive_order: float = 0.7
     outliers_adaptive_mult: float = 2.0
-    do_visibility_test: int = 0
+    do_visibility_test: int = 0  # viewpoint monotonicity cull (implemented)
     outliers_remove_doubles: int = 1
     do_compute_covariance: int = 0
     debug_verify_tricks: int = 0  # ignored
@@ -136,6 +136,11 @@ class UndistortConfig:
 
     use_imu: bool = True
     use_odom: bool = True
+    # True = integrate all three gyro axes and apply the full RPY rotation
+    # per beam, as the reference does (lidar_undistortion.cc:213-249 +
+    # ComputeRotation 398-432 + pcl::getTransformation); points come back
+    # [B, 3].  False = yaw-only fast path for level platforms, points [B, 2].
+    three_axis: bool = False
     imu_queue_size: int = 256  # static ring-buffer capacity
     odom_queue_size: int = 256
     num_beams: int = 1500

@@ -239,6 +239,10 @@ def load(path: str | os.PathLike) -> ScanLog:
     p = str(path)
     if p.endswith(".npz"):
         return load_npz(p)
+    if p.endswith(".bag"):
+        from tpuslam.io.rosbag import bag_to_scanlog
+
+        return bag_to_scanlog(p)
     return load_tslg(p)
 
 

@@ -100,6 +100,30 @@ def _point_line_residual(cur: Array, q1: Array, q2: Array):
     return r, n
 
 
+def visibility_mask(ref: Array, ref_valid: Array, viewpoint: Array) -> Array:
+    """CSM ``visibilityTest`` (csm/icp/icp.c, enabled by the
+    ``do_visibility_test`` knob read at plicp_odometry.cc:162-163):
+    invalidate reference rays whose polar angle, as seen from the predicted
+    NEW viewpoint, is not monotonically increasing vs the previous
+    still-valid ray — such surfaces face away from the moved sensor.  Exact
+    port of the sequential previous-ray semantics as a lax.scan."""
+    theta = jnp.arctan2(ref[:, 1] - viewpoint[1], ref[:, 0] - viewpoint[0])
+
+    def step(carry, inp):
+        prev_valid, prev_theta = carry
+        v, th = inp
+        kill = v & prev_valid & (th < prev_theta)
+        new_v = v & ~kill
+        return (new_v, th), new_v
+
+    _, out = jax.lax.scan(
+        step,
+        (jnp.zeros((), bool), jnp.zeros((), theta.dtype)),
+        (ref_valid, theta),
+    )
+    return out
+
+
 def plicp(
     cfg: PlicpConfig,
     src: Array,
@@ -111,6 +135,9 @@ def plicp(
     """Match src [B,2] onto ref [B',2]; returns the correcting pose."""
     if init_pose is None:
         init_pose = jnp.zeros(3, dtype=src.dtype)
+
+    if cfg.do_visibility_test:
+        ref_valid = visibility_mask(ref, ref_valid, init_pose[:2])
 
     max_d2 = cfg.max_correspondence_dist**2
     max_ang = math.radians(cfg.max_angular_correction_deg)

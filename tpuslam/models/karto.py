@@ -345,11 +345,20 @@ class KartoMapper:
 
     def _add_edge(self, i: int, j: int, mean: np.ndarray, cov: np.ndarray):
         """LinkScans (Mapper.cpp:1105-1121): constraint = from-pose → mean,
-        precision = covariance inverse (spa_solver.cc:81-90)."""
+        precision = covariance inverse (spa_solver.cc:81-90).
+
+        The matcher's positional covariance floors the variances but not the
+        cross term, so a degenerate (line-shaped) response plateau can make
+        the 2x2 block near-singular and its inverse explode to ~1e9+,
+        jamming the LM/PCG solver on one edge.  Eigen-floor the covariance
+        at 1e-4 (precision cap 1e4, an order above the reference's typical
+        1/variance-floor of 1e3) before inverting."""
         if any(e[0] == i and e[1] == j for e in self.edges):
             return  # AddEdge dedup (Mapper.cpp:1086-1096)
         meas = _np_relative(self.poses[i], mean)
-        prec = np.linalg.inv(cov + 1e-12 * np.eye(3))
+        sym = 0.5 * (cov + cov.T)
+        w, v = np.linalg.eigh(sym)
+        prec = (v / np.maximum(w, 1e-4)) @ v.T
         self.edges.append((i, j, meas, prec))
         self.adj.setdefault(i, set()).add(j)
         self.adj.setdefault(j, set()).add(i)
@@ -362,13 +371,16 @@ class KartoMapper:
 
     def _link_chain_to_scan(
         self, chain: list[int], sid: int, mean: np.ndarray, cov: np.ndarray
-    ):
-        """Mapper.cpp:1155-1170: edge from the chain scan closest to sid."""
+    ) -> bool:
+        """Mapper.cpp:1155-1170: edge from the chain scan closest to sid.
+        Returns whether the link passed the distance gate."""
         ref = self._barycenter(sid)
         closest = self._closest_in_chain(chain, ref)
         d2 = float(np.sum((self._barycenter(closest) - ref) ** 2))
         if d2 < self.cfg.link_scan_maximum_distance**2 + 1e-9:
             self._add_edge(closest, sid, mean, cov)
+            return True
+        return False
 
     def _find_near_linked(self, sid: int, max_distance: float) -> set[int]:
         """BFS from sid over graph edges, keeping scans whose barycenter is
@@ -858,18 +870,32 @@ class KartoMapper:
                     refine=True,
                 )
                 if fine_resp >= cfg.loop_match_minimum_response_fine:
-                    if self.events is not None:
-                        self.events.fire(
-                            "begin_loop_closure", scan=sid,
-                            fine_response=fine_resp,
-                        )
-                    self.poses[sid] = fine
-                    self._link_chain_to_scan(chain, sid, fine, fine_cov)
-                    self.correct_poses()
-                    closed = True
-                    self.stats["loop_closures"] += 1
-                    if self.events is not None:
-                        self.events.fire("end_loop_closure", scan=sid)
+                    # accept only if LinkChainToScan's distance gate passes:
+                    # in the reference an un-linkable closure still runs
+                    # SetSensorPose + CorrectPoses, but its SPA solver owns
+                    # the node estimates, so the optimizer immediately
+                    # overwrites the pose reset with the unchanged graph
+                    # solution — a net no-op.  Here poses seed the solver,
+                    # so an edge-less pose reset would leak; skipping it
+                    # reproduces the reference's net behavior exactly.
+                    ref_b = self._barycenter(sid)
+                    closest = self._closest_in_chain(chain, ref_b)
+                    d2 = float(
+                        np.sum((self._barycenter(closest) - ref_b) ** 2)
+                    )
+                    if d2 < cfg.link_scan_maximum_distance**2 + 1e-9:
+                        if self.events is not None:
+                            self.events.fire(
+                                "begin_loop_closure", scan=sid,
+                                fine_response=fine_resp,
+                            )
+                        self.poses[sid] = fine
+                        self._link_chain_to_scan(chain, sid, fine, fine_cov)
+                        self.correct_poses()
+                        closed = True
+                        self.stats["loop_closures"] += 1
+                        if self.events is not None:
+                            self.events.fire("end_loop_closure", scan=sid)
             chain, start = self._find_possible_loop_closure(sid, sensor, start)
         return closed
 

@@ -12,12 +12,18 @@ Behavioral contract (reference: lesson5/src/lidar_undistortion.cc):
 - the corrected point is re-expressed in the FIRST beam's frame via
   ``p' = (T_start^-1 · T_i) p`` (339-394).
 
-The reference integrates 3-axis gyro and applies a 3D rotation; this 2D
-framework integrates the yaw rate (the component that matters for planar
-scans) — the roll/pitch terms vanish for a level 2D platform.  The deque
-pruning + AsyncSpinner thread machinery becomes fixed-size sample arrays
-with validity masks; ``jnp.interp``'s boundary clamping reproduces the
-reference's front/back bracketing fallbacks.
+Two rotation modes (``cfg.three_axis``):
+
+- **3-axis** (reference-exact): integrate (wx, wy, wz), build the per-beam
+  RPY rotation ``Rz(yaw)·Ry(pitch)·Rx(roll)`` exactly as
+  ``pcl::getTransformation`` does (lidar_undistortion.cc:357-394), and
+  return 3D points in the first beam's frame,
+- **yaw-only** fast path for level platforms (roll/pitch vanish), returning
+  2D points.
+
+The deque pruning + AsyncSpinner thread machinery becomes fixed-size sample
+arrays with validity masks; ``jnp.interp``'s boundary clamping reproduces
+the reference's front/back bracketing fallbacks.
 """
 
 from __future__ import annotations
@@ -40,30 +46,39 @@ class ImuBuffer(NamedTuple):
     stamps: Array  # [K] sample times (s), ascending; invalid = +inf
     wz: Array  # [K] yaw rate (rad/s)
     valid: Array  # [K]
+    wx: Array  # [K] roll rate (rad/s); zeros when only yaw is sampled
+    wy: Array  # [K] pitch rate (rad/s)
 
 
-def make_imu_buffer(stamps, wz, capacity: int) -> ImuBuffer:
+def make_imu_buffer(stamps, wz, capacity: int, wx=None, wy=None) -> ImuBuffer:
     import numpy as np
 
     stamps = np.asarray(stamps, np.float32)
     wz = np.asarray(wz, np.float32)
     k = min(len(stamps), capacity)
     out_t = np.full(capacity, np.inf, np.float32)
-    out_w = np.zeros(capacity, np.float32)
     out_v = np.zeros(capacity, bool)
     out_t[:k] = stamps[:k]
-    out_w[:k] = wz[:k]
     out_v[:k] = True
-    return ImuBuffer(jnp.asarray(out_t), jnp.asarray(out_w), jnp.asarray(out_v))
+
+    def fill(w):
+        out = np.zeros(capacity, np.float32)
+        if w is not None:
+            out[:k] = np.asarray(w, np.float32)[:k]
+        return jnp.asarray(out)
+
+    return ImuBuffer(
+        jnp.asarray(out_t), fill(wz), jnp.asarray(out_v), fill(wx), fill(wy)
+    )
 
 
-def integrate_gyro(imu: ImuBuffer, t0: Array) -> Array:
-    """Cumulative yaw from scan start: rot[k] = sum w*dt from t0
+def integrate_gyro(imu: ImuBuffer, t0: Array, rates: Array) -> Array:
+    """Cumulative rotation from scan start: rot[k] = sum w*dt from t0
     (lidar_undistortion.cc:213-249).  Samples before t0 contribute 0."""
     dt = jnp.diff(imu.stamps, prepend=imu.stamps[:1])
     dt = jnp.where(imu.valid & (imu.stamps > t0), dt, 0.0)
     dt = jnp.clip(dt, 0.0, 1.0)  # guard inf gaps at the invalid tail
-    return jnp.cumsum(imu.wz * dt)
+    return jnp.cumsum(rates * dt)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -82,14 +97,24 @@ def undistort(
     t_i = t0 + scan.stamps
 
     if cfg.use_imu:
-        rot_cum = integrate_gyro(imu, t0)
         safe_stamps = jnp.where(imu.valid, imu.stamps, 1e30)
-        rot_i = jnp.interp(t_i, safe_stamps, rot_cum)
-        rot_0 = jnp.interp(t0, safe_stamps, rot_cum)
-        yaw_i = rot_i - rot_0
+
+        def rel_rot(rates):
+            cum = integrate_gyro(imu, t0, rates)
+            return jnp.interp(t_i, safe_stamps, cum) - jnp.interp(
+                t0, safe_stamps, cum
+            )
+
+        yaw_i = rel_rot(imu.wz)
+        if cfg.three_axis:
+            roll_i = rel_rot(imu.wx)
+            pitch_i = rel_rot(imu.wy)
     else:
         ratio_r = (t_i - t0) / jnp.maximum(t1 - t0, 1e-9)
         yaw_i = ratio_r * odom_rel[2]
+        if cfg.three_axis:
+            roll_i = jnp.zeros_like(yaw_i)
+            pitch_i = jnp.zeros_like(yaw_i)
 
     if cfg.use_odom:
         ratio = jnp.clip((t_i - t0) / jnp.maximum(t1 - t0, 1e-9), 0.0, 1.0)
@@ -97,15 +122,34 @@ def undistort(
     else:
         txy_i = jnp.zeros_like(pts)
 
+    x, y = pts[:, 0], pts[:, 1]
+    if cfg.three_axis:
+        # per-beam R = Rz(yaw)·Ry(pitch)·Rx(roll) exactly as
+        # pcl::getTransformation composes it (lidar_undistortion.cc:357-394);
+        # beam 0 is the identity by construction (integrals start at t0),
+        # so p' = T_i [x, y, 0] directly.  Scans are planar (z = 0) but a
+        # rolling/pitching platform rotates them out of plane.
+        cr, sr = jnp.cos(roll_i), jnp.sin(roll_i)
+        cp, sp = jnp.cos(pitch_i), jnp.sin(pitch_i)
+        cy, sy = jnp.cos(yaw_i), jnp.sin(yaw_i)
+        # rows of Rz·Ry·Rx applied to (x, y, 0): only the first two columns
+        out = jnp.stack(
+            [
+                cy * cp * x + (cy * sp * sr - sy * cr) * y + txy_i[:, 0],
+                sy * cp * x + (sy * sp * sr + cy * cr) * y + txy_i[:, 1],
+                -sp * x + cp * sr * y,
+            ],
+            axis=-1,
+        )
+        return out, valid
+
     # T_i = (txy_i, yaw_i); beam 0 has T_0 = identity (yaw_0 = 0, txy_0 = 0
     # by construction since t_beam0 == t0); p' = (T_0^-1 T_i) p = T_i p
-    t_pose = jnp.concatenate([txy_i, yaw_i[:, None]], axis=-1)  # [B, 3]
-    c, s = jnp.cos(t_pose[:, 2]), jnp.sin(t_pose[:, 2])
-    x, y = pts[:, 0], pts[:, 1]
+    c, s = jnp.cos(yaw_i), jnp.sin(yaw_i)
     out = jnp.stack(
         [
-            c * x - s * y + t_pose[:, 0],
-            s * x + c * y + t_pose[:, 1],
+            c * x - s * y + txy_i[:, 0],
+            s * x + c * y + txy_i[:, 1],
         ],
         axis=-1,
     )
