@@ -46,14 +46,21 @@ def timed(fn, *args, iters=10):
     return (time.perf_counter() - t0) / iters
 
 
+_OUT_PATH: pathlib.Path | None = None
+
+
 def emit(metric, value, unit, baseline=None):
-    print(json.dumps({
+    line = json.dumps({
         "metric": metric,
         "value": round(float(value), 1),
         "unit": unit,
         **({"vs_baseline": round(float(value) / baseline, 3)} if baseline else {}),
-    }))
+    })
+    print(line)
     sys.stdout.flush()
+    if _OUT_PATH is not None:
+        with _OUT_PATH.open("a") as f:
+            f.write(line + "\n")
 
 
 def scan_fixtures(num_beams=512, batch=256):
@@ -78,12 +85,27 @@ def scan_fixtures(num_beams=512, batch=256):
 
 
 def bench_hector(batch, iters):
+    import contextlib
+    import io
     import runpy
-    # repo-root bench.py prints the headline itself
-    runpy.run_path(
-        str(pathlib.Path(__file__).resolve().parent.parent / "bench.py"),
-        run_name="__main__",
-    )
+
+    # repo-root bench.py prints the headline; capture and re-emit so the
+    # line also lands in the versioned --out artifact
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        runpy.run_path(
+            str(pathlib.Path(__file__).resolve().parent.parent / "bench.py"),
+            run_name="__main__",
+        )
+    for line in buf.getvalue().splitlines():
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            print(line)
+            continue
+        emit(rec["metric"], rec["value"], rec["unit"],
+             baseline=rec["value"] / rec["vs_baseline"]
+             if rec.get("vs_baseline") else None)
 
 
 def bench_plicp(batch, iters):
@@ -261,7 +283,16 @@ def bench_solver(iters):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument(
+        "--out",
+        help="also append each metric line to this file (e.g. "
+        "BENCH_SUITE_r02.json — the versioned per-round artifact)",
+    )
     args = ap.parse_args()
+    if args.out:
+        global _OUT_PATH
+        _OUT_PATH = pathlib.Path(args.out)
+        _OUT_PATH.write_text("")  # fresh file per run
     batch = 256 if args.quick else 1024
     iters = 3 if args.quick else 10
 

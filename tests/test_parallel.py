@@ -153,3 +153,72 @@ def test_driver_dryrun_local_8():
     from __graft_entry__ import _dryrun_local
 
     _dryrun_local(8)
+
+
+def _correlative_fixture(nb=128, chain=4, seed=0):
+    from tpuslam.core import se2
+
+    rng = np.random.default_rng(seed)
+    angles = np.linspace(-2.0, 2.0, nb)
+    r = 5.0 + np.sin(3 * angles)
+    local = np.stack([r * np.cos(angles), r * np.sin(angles)], -1)
+    base = local[None] + rng.normal(0, 0.03, (chain, nb, 2))
+    local_pts = jnp.asarray(local, jnp.float32)
+    valid = jnp.ones(nb, bool)
+    base_pts = jnp.asarray(base, jnp.float32)
+    base_valid = jnp.ones((chain, nb), bool)
+    return local_pts, valid, base_pts, base_valid
+
+
+@pytest.mark.parametrize("method", ["patch", "fft"])
+def test_sharded_correlative_matches_unsharded(method):
+    """The (x, y, theta)-lattice-sharded MatchScan must agree with the
+    single-device matcher (same tie averaging, same covariances)."""
+    from tpuslam.match.correlative import CorrelativeSpec, match_scan
+    from tpuslam.parallel.correlative import make_sharded_match_scan
+
+    spec = CorrelativeSpec(
+        resolution=0.02, search_dim=0.4, smear_deviation=0.04,
+        range_threshold=8.0, response_method=method,
+    )
+    mesh = make_mesh(8, axis="lattice")
+    local_pts, valid, base_pts, base_valid = _correlative_fixture()
+    center = jnp.asarray([0.05, -0.03, 0.02], jnp.float32)
+
+    sharded = make_sharded_match_scan(spec, mesh, penalize=True, refine=True)
+    got = sharded(center, local_pts, valid, base_pts, base_valid)
+    want = match_scan(spec, center, local_pts, valid, base_pts, base_valid,
+                      penalize=True, refine=True)
+    np.testing.assert_allclose(np.asarray(got.pose), np.asarray(want.pose),
+                               atol=1e-5)
+    np.testing.assert_allclose(float(got.response), float(want.response),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.covariance),
+                               np.asarray(want.covariance), rtol=1e-4,
+                               atol=1e-6)
+
+
+def test_sharded_correlative_loop_geometry():
+    """Sharded matcher at a loop-flavored operating point recovers a known
+    offset (penalize=False, refine=False — the loop coarse pass)."""
+    from tpuslam.core import se2
+    from tpuslam.match.correlative import CorrelativeSpec
+    from tpuslam.parallel.correlative import make_sharded_match_scan
+
+    spec = CorrelativeSpec(
+        resolution=0.05, search_dim=2.0, smear_deviation=0.1,
+        range_threshold=8.0,
+    )
+    mesh = make_mesh(8, axis="lattice")
+    local_pts, valid, base_pts, base_valid = _correlative_fixture()
+    true_pose = jnp.asarray([0.4, -0.3, 0.0], jnp.float32)
+    # base scans live in world frame at identity; the query scan claims to
+    # sit at true_pose but its points were taken from identity, so the
+    # matcher must pull it back by -offset
+    wpts = se2.transform_points(true_pose, local_pts)
+    base_w = jax.vmap(lambda p: p)(base_pts)  # already world frame
+    sharded = make_sharded_match_scan(spec, mesh, penalize=False, refine=False)
+    res = sharded(true_pose, local_pts, valid, base_w, base_valid)
+    got = np.asarray(res.pose)
+    assert abs(got[0] - 0.0) < 0.15 and abs(got[1] - 0.0) < 0.15, got
+    assert float(res.response) > 0.5

@@ -239,8 +239,9 @@ def _correlate(
     local_pts: Array,  # [B, 2] scan points in the SENSOR frame
     valid: Array,  # [B]
     xy_offsets: np.ndarray,  # static candidate offsets (meters)
-    angle_offsets: np.ndarray,  # static candidate angle offsets (rad)
+    angle_offsets,  # [nA] candidate angle offsets (rad); np or traced Array
     penalize: bool,
+    angle_mask: Array | None = None,  # [nA] False = padding entry (ignored)
 ):
     """Dense response tensor [nY, nX, nA] + tie-averaged best pose."""
     g = spec.grid_size
@@ -321,7 +322,8 @@ def _correlate(
         dxc = half + (cand_x - base_x)
         resp = patches[:, dyc[:, None], dxc[None, :]] / denom
         return _finish_correlate(
-            spec, resp, center_pose, xs, angs, angle_offsets, penalize
+            spec, resp, center_pose, xs, angs, angle_offsets, penalize,
+            angle_mask,
         )
 
     def slice_sum(oy_f, ox_f, valid_f):
@@ -362,7 +364,7 @@ def _correlate(
     dxc = half + (cand_x - base_x)
     resp = patches[:, dyc[:, None], dxc[None, :]] / denom  # [nA, nY, nX]
     return _finish_correlate(
-        spec, resp, center_pose, xs, angs, angle_offsets, penalize
+        spec, resp, center_pose, xs, angs, angle_offsets, penalize, angle_mask
     )
 
 
@@ -393,10 +395,17 @@ def _finish_correlate(
     center_pose: Array,
     xs: Array,  # [nXY] candidate offsets (meters)
     angs: Array,  # [nA] absolute candidate angles
-    angle_offsets: np.ndarray,
+    angle_offsets,
     penalize: bool,
+    angle_mask: Array | None = None,
 ):
     """Penalties + tie-averaged best pose (shared by patch and fft paths)."""
+    if angle_mask is not None:
+        # padding angles (added to make nA divide a mesh axis) are removed
+        # from the search with a -1 sentinel: true responses are >= 0, so
+        # they never win the max, never join the tie set, and never clear
+        # the >= best - 0.1 covariance-weight threshold
+        resp = jnp.where(angle_mask[:, None, None], resp, -1.0)
     resp = jnp.moveaxis(resp, 0, -1)  # [nY, nX, nA]
 
     if penalize:
@@ -472,7 +481,8 @@ def _angular_covariance(
     valid: Array,
     mean: Array,
     best: Array,
-    angle_offsets: np.ndarray,
+    angle_offsets,
+    angle_mask: Array | None = None,
 ) -> Array:
     """Mapper.cpp:641-692: angle response sweep at the best position."""
     resp, _, _ = _correlate(
@@ -486,6 +496,7 @@ def _angular_covariance(
         np.zeros(1),
         angle_offsets,
         penalize=False,
+        angle_mask=angle_mask,
     )
     r = resp[0, 0, :]  # [nA]
     angs = jnp.asarray(angle_offsets, jnp.float32)
