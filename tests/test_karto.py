@@ -259,3 +259,75 @@ def test_unlinkable_loop_closure_is_skipped():
     # closure must therefore come with a graph edge
     long_edges = [e for e in m.edges if abs(e[0] - e[1]) > 5]
     assert len(long_edges) >= m.stats["loop_closures"]
+
+
+def _drive_batch(parallel, n=24, batch_size=8, seed=11):
+    import dataclasses
+
+    rng = np.random.default_rng(seed)
+    cfg = dataclasses.replace(
+        CFG, minimum_travel_distance=0.0, minimum_travel_heading=0.0,
+        minimum_time_interval=0.0,
+    )
+    m = KartoMapper(cfg, max_scans=2 * n)
+    true = np.zeros(3)
+    odom = np.zeros(3)
+    scans, odoms, trues = [], [], []
+    for i in range(n):
+        scans.append(scan_at(true))
+        odoms.append(odom.copy())
+        trues.append(true.copy())
+        step = np.array([0.12, 0.0, 0.04])
+        true = _np_compose(true, step)
+        odom = _np_compose(odom, step + rng.normal(0, [0.01, 0.01, 0.004]))
+    res = m.process_batch(scans, odoms, batch_size=batch_size,
+                          parallel=parallel)
+    assert all(r.processed for r in res)
+    est = np.stack([r.pose for r in res])
+    return m, est, np.stack(trues)
+
+
+def test_process_batch_sequential_tracks_truth():
+    m, est, true = _drive_batch(parallel=False)
+    err = np.hypot(*(est[:, :2] - true[:, :2]).T)
+    assert err[1:].mean() < 0.08, err
+
+
+def test_process_batch_parallel_matches_sequential():
+    """Throughput mode (vmapped matches, odometry-chained predictions) must
+    track the sequential batch mode closely on a well-behaved trajectory."""
+    _, est_s, true = _drive_batch(parallel=False)
+    _, est_p, _ = _drive_batch(parallel=True)
+    err_p = np.hypot(*(est_p[:, :2] - true[:, :2]).T)
+    assert err_p[1:].mean() < 0.08, err_p
+    # the two modes center their candidate lattices on different predictions
+    # (matched vs odometry-chained), so plateau tie-averages differ by up to
+    # a couple of fine-lattice cells per scan
+    d = np.hypot(*(est_p[:, :2] - est_s[:, :2]).T)
+    assert d.mean() < 0.08, d
+
+
+def test_batch_expansion_retry_fires_on_blind_scan():
+    """A scan with zero valid beams yields response 0 in the fused batch;
+    the host must retry it with response expansion enabled (stats counter)
+    and keep processing the rest of the batch."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        CFG, minimum_travel_distance=0.0, minimum_travel_heading=0.0,
+        minimum_time_interval=0.0,
+    )
+    m = KartoMapper(cfg, max_scans=32)
+    scans, odoms = [], []
+    pose = np.zeros(3)
+    for i in range(8):
+        scans.append(scan_at(pose))
+        odoms.append(pose.copy())
+        pose = _np_compose(pose, np.array([0.1, 0.0, 0.0]))
+    blind = make_scan(np.full(180, np.inf), angle_min=-2.0,
+                      angle_increment=4.0 / 179, range_min=0.1,
+                      range_max=30.0, num_beams=180)
+    scans[4] = blind
+    res = m.process_batch(scans, odoms, batch_size=8)
+    assert all(r.processed for r in res)
+    assert m.stats["expansion_retries"] >= 1

@@ -93,6 +93,7 @@ def load_karto(path: str | os.PathLike, mapper) -> None:
     mapper._pts = mapper._pts.at[:n].set(jnp.asarray(z["pts"]))
     mapper._valid = mapper._valid.at[:n].set(jnp.asarray(z["valid"]))
     mapper.poses[:n] = z["poses"]
+    mapper.mean_locals[:n] = z["mean_local"]
     mapper.records = [
         _ScanRecord(i, z["odom"][i], float(z["times"][i]), z["mean_local"][i],
                     meta["sensors"][i])

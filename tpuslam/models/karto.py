@@ -186,6 +186,68 @@ def _fused_batch_steps(
     return pts_store, valid_store, poses_store, outs
 
 
+@partial(
+    jax.jit,
+    static_argnames=("spec", "max_range"),
+    donate_argnums=(1, 2),
+)
+def _fused_parallel_steps(
+    spec,
+    pts_store,  # [M, B, 2] (donated)
+    valid_store,  # [M, B] (donated)
+    sid0,  # int32: state id of the first scan in the batch
+    scans: Scan,  # [K, B] stacked scans
+    centers,  # [K, 3] odometry-chained predictions (host-computed)
+    chain_idx,  # [K, cap] running-chain ids per scan
+    chain_len,  # [K]
+    chain_poses,  # [K, cap, 3] world poses of chain members (host-computed:
+    #              corrected poses for pre-batch scans, odometry-chained
+    #              predictions for in-batch scans)
+    max_range: float,
+):
+    """Throughput mode: match ALL K scans of a flush in parallel (vmap).
+
+    Unlike :func:`_fused_batch_steps` (a lax.scan that chains each scan's
+    prediction off the previous MATCH), every prediction and every in-batch
+    chain pose here comes from the odometry carry alone — the matches are
+    then independent and vmap batches them onto the hardware (the same
+    trade hector's ``batch_match`` makes; SURVEY §2.3 data-parallel axis).
+    Valid while odometric drift across one flush stays well inside the
+    search window; the host applies fusion/corrections at the boundary."""
+    cap = chain_idx.shape[1]
+    k = scans.ranges.shape[0]
+    pts, valid = scan_to_points(scans)  # [K, B, 2]
+    valid = valid & (scans.ranges <= max_range) & (scans.ranges > 0.0)
+    sids = sid0 + jnp.arange(k, dtype=jnp.int32)
+    pts_store = pts_store.at[sids].set(pts)
+    valid_store = valid_store.at[sids].set(valid)
+    mean_local = jnp.sum(
+        jnp.where(valid[..., None], pts, 0.0), axis=1
+    ) / jnp.maximum(jnp.sum(valid, axis=1), 1)[:, None]
+
+    def one(center, p, v, cidx, clen, cposes):
+        cpts = jnp.take(pts_store, cidx, axis=0)
+        cvalid = jnp.take(valid_store, cidx, axis=0)
+        cvalid = cvalid & (jnp.arange(cap) < clen)[:, None]
+        wpts = se2.transform_points(cposes, cpts)
+        res = match_scan(
+            spec, center, p, v, wpts, cvalid, penalize=True, refine=True
+        )
+        return res.pose, res.response, res.covariance
+
+    poses_k, resp_k, cov_k = jax.vmap(one)(
+        centers, pts, valid, chain_idx, chain_len, chain_poses
+    )
+    return pts_store, valid_store, (poses_k, resp_k, cov_k, mean_local)
+
+
+@jax.jit
+def _stack_scans(scans_tuple):
+    """Stack K Scans into one [K, B] Scan in a single dispatch (four
+    separate jnp.stack calls cost ~5 ms each on tunneled PJRT backends)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *scans_tuple)
+
+
 class ProcessResult(NamedTuple):
     processed: bool
     pose: np.ndarray  # [3] corrected pose after matching/optimization
@@ -260,6 +322,7 @@ class KartoMapper:
         # name, karto_slam.cc:327-405 supports one device per laser frame)
         self.records: list[_ScanRecord] = []
         self.poses = np.zeros((max_scans, 3))  # corrected sensor poses
+        self.mean_locals = np.zeros((max_scans, 2))  # local-point means
         self.sensor_scans: dict[str, list[int]] = {}
         self.running_by_sensor: dict[str, list[int]] = {}
         self.edges: list[tuple[int, int, np.ndarray, np.ndarray]] = []
@@ -271,6 +334,7 @@ class KartoMapper:
             "near_chain_links": 0,  # accepted LinkNearChains matches
             "pose_fusions": 0,  # ComputeWeightedMean writebacks
             "loop_closures": 0,
+            "expansion_retries": 0,  # batch-mode response-expansion retries
         }
 
     # ------------------------------------------------------------- helpers
@@ -287,6 +351,24 @@ class KartoMapper:
         m = self.records[sid].mean_local
         return np.array(
             [p[0] + c * m[0] - s * m[1], p[1] + s * m[0] + c * m[1]]
+        )
+
+    def _bary_all(self) -> np.ndarray:
+        """All scans' barycenters [n, 2], vectorized (the BFS/chain/loop
+        searches touch O(n) of them per scan — per-scan trig would make the
+        host bookkeeping quadratic with a heavy constant)."""
+        n = self._num()
+        p = self.poses[:n]
+        if not self.cfg.use_scan_barycenter:
+            return p[:, :2]
+        c, s = np.cos(p[:, 2]), np.sin(p[:, 2])
+        m = self.mean_locals[:n]
+        return np.stack(
+            [
+                p[:, 0] + c * m[:, 0] - s * m[:, 1],
+                p[:, 1] + s * m[:, 0] + c * m[:, 1],
+            ],
+            axis=1,
         )
 
     @staticmethod
@@ -382,13 +464,18 @@ class KartoMapper:
             return True
         return False
 
-    def _find_near_linked(self, sid: int, max_distance: float) -> set[int]:
+    def _find_near_linked(
+        self, sid: int, max_distance: float, d2_all: np.ndarray | None = None
+    ) -> set[int]:
         """BFS from sid over graph edges, keeping scans whose barycenter is
         within max_distance (Mapper.cpp:1280-1292 NearScanVisitor)."""
-        ref = self._barycenter(sid)
+        if d2_all is None:
+            bary = self._bary_all()
+            d2_all = np.sum((bary - bary[sid]) ** 2, axis=1)
         seen = {sid}
         out: set[int] = set()
         frontier = [sid]
+        maxd2 = max_distance**2 + 1e-9
         while frontier:
             nxt = []
             for v in frontier:
@@ -396,8 +483,7 @@ class KartoMapper:
                     if w in seen:
                         continue
                     seen.add(w)
-                    d2 = float(np.sum((self._barycenter(w) - ref) ** 2))
-                    if d2 < max_distance**2 + 1e-9:
+                    if d2_all[w] < maxd2:
                         out.add(w)
                         nxt.append(w)
             frontier = nxt
@@ -407,9 +493,12 @@ class KartoMapper:
         """Mapper.cpp:1173-1275: grow each near-linked scan into a chain
         along state ids while within link_scan_maximum_distance; chains
         containing sid are invalid."""
-        ref = self._barycenter(sid)
+        bary = self._bary_all()
+        d2_all = np.sum((bary - bary[sid]) ** 2, axis=1)
         maxd2 = self.cfg.link_scan_maximum_distance**2 + 1e-9
-        near = self._find_near_linked(sid, self.cfg.link_scan_maximum_distance)
+        near = self._find_near_linked(
+            sid, self.cfg.link_scan_maximum_distance, d2_all
+        )
         processed: set[int] = set()
         chains: list[list[int]] = []
         for ns in sorted(near):
@@ -424,7 +513,7 @@ class KartoMapper:
                 cand = seq[k]
                 if cand == sid:
                     valid = False
-                if float(np.sum((self._barycenter(cand) - ref) ** 2)) < maxd2:
+                if d2_all[cand] < maxd2:
                     chain.insert(0, cand)
                     processed.add(cand)
                 else:
@@ -433,7 +522,7 @@ class KartoMapper:
                 cand = seq[k]
                 if cand == sid:
                     valid = False
-                if float(np.sum((self._barycenter(cand) - ref) ** 2)) < maxd2:
+                if d2_all[cand] < maxd2:
                     chain.append(cand)
                     processed.add(cand)
                 else:
@@ -554,6 +643,7 @@ class KartoMapper:
         window maintenance + loop closure (Mapper::Process steps 4-6)."""
         cfg = self.cfg
         self.poses[sid] = corrected
+        self.mean_locals[sid] = mean_local
         self.records.append(
             _ScanRecord(sid, odom_pose, time, mean_local, sensor)
         )
@@ -651,6 +741,7 @@ class KartoMapper:
         times=None,
         sensor: str = "laser0",
         batch_size: int = 16,
+        parallel: bool = False,
     ) -> list[ProcessResult]:
         """Offline (bag-playback) processing: the device side of up to
         ``batch_size`` consecutive scans runs as ONE dispatch
@@ -665,7 +756,22 @@ class KartoMapper:
           trimming, and loop-closure corrections apply on the host after the
           device batch, so they take effect from the next batch on);
         - gating (HasMovedEnough) is odometry/time-only (as the reference's,
-          Mapper.cpp:2087-2120) and is applied exactly, per scan.
+          Mapper.cpp:2087-2120) and is applied exactly, per scan;
+        - response expansion (Mapper.cpp:242-272) applies as a host-side
+          per-scan retry after the batch: inside the batched program the
+          expansion ``cond`` pays its three extra sweeps on every scan
+          (measured ~3 ms/scan on v5e), so the fused program runs without
+          it and any scan whose coarse response comes back exactly 0 is
+          re-matched alone with expansion enabled (``stats["expansion_
+          retries"]`` counts these; downstream in-batch predictions keep
+          the pre-retry pose, bounded by one batch).
+
+        ``parallel=True`` selects the vmapped throughput mode
+        (:func:`_fused_parallel_steps`): all scans of a flush match in
+        PARALLEL with odometry-chained predictions (in-batch chain poses
+        are odometry-predicted rather than previously-matched).  Highest
+        throughput; valid while odometric drift over one flush stays well
+        inside the search window.
         """
         cfg = self.cfg
         n_in = len(scans)
@@ -682,6 +788,12 @@ class KartoMapper:
             last_odom = self.records[lid].odom_pose
             last_time = self.records[lid].time
 
+        # expansion runs as a host retry (see docstring): the fused
+        # programs compile without the in-program expansion cond
+        batch_spec = dataclasses.replace(
+            self.seq_spec, use_response_expansion=False
+        )
+
         def flush():
             nonlocal last_odom, last_time
             if not pending:
@@ -692,9 +804,7 @@ class KartoMapper:
             running = self.running_by_sensor.setdefault(sensor, [])
             last_id = self.last_by_sensor[sensor]
 
-            batch = jax.tree.map(
-                lambda *xs: jnp.stack(xs), *[scans[i] for i in pending]
-            )
+            batch = _stack_scans(tuple(scans[i] for i in pending))
             deltas = np.zeros((k, 3), np.float32)
             prev_odom = self.records[last_id].odom_pose
             for j, i in enumerate(pending):
@@ -706,35 +816,75 @@ class KartoMapper:
                 ids = (running + [sid0 + x for x in range(j)])[-cap:]
                 chain_idx[j, : len(ids)] = ids
                 chain_len[j] = len(ids)
-            (
-                self._pts,
-                self._valid,
-                _,
-                (poses_k, resp_k, cov_k, mean_k),
-            ) = _fused_batch_steps(
-                self.seq_spec,
-                self._pts,
-                self._valid,
-                jnp.asarray(self.poses[: self.max_scans], jnp.float32),
-                jnp.int32(sid0),
-                batch,
-                jnp.asarray(deltas),
-                jnp.asarray(chain_idx),
-                jnp.asarray(chain_len),
-                jnp.asarray(self.poses[last_id], jnp.float32),
-                max_range=cfg.use_scan_range,
-            )
+            if parallel:
+                # odometry-chained predictions for every scan of the flush
+                centers = np.zeros((k, 3), np.float32)
+                prev = self.poses[last_id]
+                for j in range(k):
+                    prev = _np_compose(prev, deltas[j])
+                    centers[j] = prev
+                pose_lookup = self.poses[: self.max_scans].astype(np.float32)
+                pose_lookup = pose_lookup.copy()
+                pose_lookup[sid0 : sid0 + k] = centers
+                chain_poses = pose_lookup[chain_idx]  # [k, cap, 3]
+                (
+                    self._pts,
+                    self._valid,
+                    (poses_k, resp_k, cov_k, mean_k),
+                ) = _fused_parallel_steps(
+                    batch_spec,
+                    self._pts,
+                    self._valid,
+                    jnp.int32(sid0),
+                    batch,
+                    jnp.asarray(centers),
+                    jnp.asarray(chain_idx),
+                    jnp.asarray(chain_len),
+                    jnp.asarray(chain_poses),
+                    max_range=cfg.use_scan_range,
+                )
+            else:
+                (
+                    self._pts,
+                    self._valid,
+                    _,
+                    (poses_k, resp_k, cov_k, mean_k),
+                ) = _fused_batch_steps(
+                    batch_spec,
+                    self._pts,
+                    self._valid,
+                    jnp.asarray(self.poses[: self.max_scans], jnp.float32),
+                    jnp.int32(sid0),
+                    batch,
+                    jnp.asarray(deltas),
+                    jnp.asarray(chain_idx),
+                    jnp.asarray(chain_len),
+                    jnp.asarray(self.poses[last_id], jnp.float32),
+                    max_range=cfg.use_scan_range,
+                )
             poses_k, resp_k, cov_k, mean_k = jax.device_get(
                 (poses_k, resp_k, cov_k, mean_k)
             )
             for j, i in enumerate(pending):
                 sid = sid0 + j
                 lid_j = last_id if j == 0 else sid - 1
+                pose_j = np.asarray(poses_k[j], np.float64)
+                resp_j = float(resp_k[j])
+                cov_j = np.asarray(cov_k[j], np.float64)
+                if resp_j == 0.0 and self.seq_spec.use_response_expansion:
+                    # host-side response-expansion retry (Mapper.cpp:242-272)
+                    ids = list(chain_idx[j][: int(chain_len[j])])
+                    center_j = _np_compose(self.poses[lid_j], deltas[j])
+                    pose_j, resp_j, cov_j = self._match(
+                        self.seq_spec, sid, center_j, [int(x) for x in ids],
+                        cap, penalize=True, refine=True,
+                    )
+                    self.stats["expansion_retries"] += 1
                 results[i] = self._finish_scan(
                     sid,
-                    np.asarray(poses_k[j], np.float64),
-                    float(resp_k[j]),
-                    np.asarray(cov_k[j], np.float64),
+                    pose_j,
+                    resp_j,
+                    cov_j,
                     np.asarray(mean_k[j]),
                     odom_poses[i],
                     times[i],
@@ -803,16 +953,18 @@ class KartoMapper:
         closure so remaining candidates use the optimizer-corrected poses
         (the reference's while/rStartNum structure, Mapper.cpp:984-1048)."""
         cfg = self.cfg
-        ref = self._barycenter(sid)
-        near = self._find_near_linked(sid, cfg.loop_search_maximum_distance)
+        bary = self._bary_all()
+        d2_all = np.sum((bary - bary[sid]) ** 2, axis=1)
+        near = self._find_near_linked(
+            sid, cfg.loop_search_maximum_distance, d2_all
+        )
         scans = self.sensor_scans.get(sensor, [])
         chain: list[int] = []
         i = start
         while i < len(scans):
             cand = scans[i]
             i += 1
-            d2 = float(np.sum((self._barycenter(cand) - ref) ** 2))
-            if d2 < cfg.loop_search_maximum_distance**2 + 1e-9:
+            if d2_all[cand] < cfg.loop_search_maximum_distance**2 + 1e-9:
                 # a near-linked scan (or sid itself, which is at distance 0
                 # and near-linked by its running chain) breaks the chain
                 if cand == sid or cand in near:
