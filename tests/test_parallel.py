@@ -222,3 +222,60 @@ def test_sharded_correlative_loop_geometry():
     got = np.asarray(res.pose)
     assert abs(got[0] - 0.0) < 0.15 and abs(got[1] - 0.0) < 0.15, got
     assert float(res.response) > 0.5
+
+
+def test_karto_loop_closure_with_sharded_lattice():
+    """KartoMapper(loop_mesh=...) reproduces the single-device mapper run —
+    same loop closures, same corrected poses (the coarse loop search runs
+    SPMD over the 8-device mesh)."""
+    import math
+
+    from tpuslam.core.config import KartoConfig
+    from tpuslam.io.simulate import simulate_scan as sim, world_with_boxes
+    from tpuslam.models.karto import KartoMapper, _np_compose
+
+    segs = world_with_boxes()
+    cfg = KartoConfig(
+        num_beams=180, use_scan_range=6.0,
+        minimum_travel_distance=0.2, minimum_travel_heading=0.174,
+        minimum_time_interval=3600.0, scan_buffer_size=20,
+        scan_buffer_maximum_scan_distance=10.0,
+        correlation_search_space_dimension=0.32,
+        correlation_search_space_resolution=0.02,
+        correlation_search_space_smear_deviation=0.04,
+        loop_search_space_dimension=4.0, loop_search_space_resolution=0.1,
+        loop_search_space_smear_deviation=0.1,
+        loop_search_maximum_distance=1.5, loop_match_minimum_chain_size=4,
+        loop_match_maximum_variance_coarse=0.4,
+        loop_match_minimum_response_coarse=0.5,
+        loop_match_minimum_response_fine=0.5,
+        link_match_minimum_response_fine=0.6, link_scan_maximum_distance=1.5,
+    )
+
+    def scan_at(pose):
+        r, amin, ainc = sim(segs, pose, num_beams=180, max_range=30.0)
+        return make_scan(r, angle_min=amin, angle_increment=ainc,
+                         range_min=0.1, range_max=30.0, num_beams=180)
+
+    mesh = make_mesh(8, axis="lattice")
+    m_ref = KartoMapper(cfg, max_scans=64)
+    m_sh = KartoMapper(cfg, max_scans=64, loop_mesh=mesh)
+    assert m_sh._sharded_loop_match is not None
+
+    rng = np.random.default_rng(7)
+    radius = 1.6
+    true = np.array([radius, 0.0, math.pi / 2])
+    odom = true.copy()
+    closed_ref = closed_sh = False
+    for i in range(46):
+        s = scan_at(true)
+        closed_ref |= m_ref.process(s, odom, time=0.0).loop_closed
+        closed_sh |= m_sh.process(s, odom, time=0.0).loop_closed
+        dth = 2 * math.pi / 40
+        step = np.array([radius * dth, 0.0, dth])
+        true = _np_compose(true, step)
+        odom = _np_compose(odom, step + rng.normal(0, [0.01, 0.01, 0.005]))
+    assert closed_ref and closed_sh
+    assert m_ref.stats["loop_closures"] == m_sh.stats["loop_closures"]
+    n = len(m_ref.records)
+    np.testing.assert_allclose(m_sh.poses[:n], m_ref.poses[:n], atol=1e-4)

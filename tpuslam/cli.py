@@ -64,6 +64,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save", help="write outputs (npz)")
     p.add_argument("--png", help="render map/trajectory PNG (rviz analog)")
+    p.add_argument("--map-stream", type=float, metavar="SECONDS",
+                   help="publish map_update events every SECONDS of scan "
+                   "time (reference: map_update_interval 5s / "
+                   "map_pub_period 2s); summaries log to stderr")
     p.add_argument("--config", help="YAML config with reference parameter "
                    "names (core.config.from_yaml)")
     p.add_argument("--report", action="store_true",
@@ -381,6 +385,26 @@ def _run_karto(args, log, true, cfg, mapper):
     from tpuslam.utils.timing import StepTimer
 
     timer = StepTimer()
+    pub = None
+    if getattr(args, "map_stream", None) is not None:
+        from tpuslam.utils.events import EventBus
+        from tpuslam.utils.map_server import MapPublisher
+
+        bus = EventBus()
+
+        def _sink(event, payload):
+            rec = {k: (list(v) if isinstance(v, tuple) else v)
+                   for k, v in payload.items() if k != "image"}
+            print(json.dumps({"event": event, **rec}), file=sys.stderr)
+
+        bus.subscribe(_sink)
+
+        def _export():
+            g = mapper.occupancy_grid()
+            return (np.asarray(g[1]) if g is not None
+                    else np.zeros((1, 1), np.int8))
+
+        pub = MapPublisher(bus, _export, period=args.map_stream)
     loops = 0
     kept_truth = []
     for i in range(len(log)):
@@ -391,6 +415,8 @@ def _run_karto(args, log, true, cfg, mapper):
             loops += int(res.loop_closed)
             if true is not None:
                 kept_truth.append(true[i])
+            if pub is not None:
+                pub.maybe_publish(float(log.stamps[i]))
     n = len(mapper.records)
     ate = None
     if kept_truth:

@@ -191,6 +191,10 @@ class KartoConfig:
     minimum_angle_penalty: float = 0.9
     minimum_distance_penalty: float = 0.5
     use_response_expansion: bool = True
+    # correlative response-surface computation (not a reference knob; see
+    # CorrelativeSpec.response_method): "auto" | "patch" | "conv" | "fft"
+    # | "pallas"
+    response_method: str = "auto"
 
     # backend
     use_back_end: bool = True

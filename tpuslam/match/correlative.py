@@ -300,7 +300,38 @@ def _correlate(
     patch_bytes = n_angles * b * size * size * 4
     method = spec.response_method
     if method == "auto":
-        method = "fft" if patch_bytes > 192 * 1024 * 1024 else "patch"
+        if jax.default_backend() == "cpu":
+            method = "fft" if patch_bytes > 192 * 1024 * 1024 else "patch"
+        else:
+            # TPU: per-slice gathers are latency-bound (~1.2 us each) — use
+            # the VMEM-resident Pallas kernel whenever the grid fits,
+            # falling back to the size rule above for oversized grids
+            from tpuslam.ops.pallas_correlative import vmem_fits
+
+            if vmem_fits(g, size):
+                method = "pallas"
+            else:
+                method = "fft" if patch_bytes > 192 * 1024 * 1024 else "patch"
+
+    if method == "pallas":
+        from tpuslam.ops.pallas_correlative import patch_sums_pallas
+
+        ay = base_y + oy - half  # [nA, B] patch top-left
+        ax = base_x + ox - half
+        ok = valid[None, :] & (ay >= 0) & (ax >= 0) & (ay + size <= g) & (
+            ax + size <= g
+        )
+        # dropped points read the kernel's zero landing strip at row g
+        ay = jnp.where(ok, ay, g)
+        ax = jnp.where(ok, ax, 0)
+        patches = patch_sums_pallas(grid, ay, ax, size) * 0.01
+        dyc = half + (cand_y - base_y)
+        dxc = half + (cand_x - base_x)
+        resp = patches[:, dyc[:, None], dxc[None, :]] / denom
+        return _finish_correlate(
+            spec, resp, center_pose, xs, angs, angle_offsets, penalize,
+            angle_mask,
+        )
 
     if method == "conv":
         # Cross-correlation on the MXU: stamp a per-angle point-count

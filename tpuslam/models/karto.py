@@ -272,10 +272,20 @@ class KartoMapper:
         cfg: KartoConfig,
         max_scans: int = 2048,
         events=None,
+        loop_mesh=None,
+        loop_mesh_axis: str = "lattice",
     ):
         """events: optional tpuslam.utils.events.EventBus — receives the
         reference's MapperListener stream (loop_closure_check,
         begin/end_loop_closure, poses_corrected; Mapper.cpp:2142-2218).
+
+        loop_mesh: optional jax.sharding.Mesh — shards the loop matcher's
+        candidate angle lattice over ``loop_mesh[loop_mesh_axis]``
+        (tpuslam.parallel.correlative); the coarse loop search then runs
+        SPMD across devices with XLA-inserted reductions, bit-identical
+        to the single-device matcher.  The sequential matcher and the
+        fine loop pass stay single-device (their windows are too small to
+        amortize collectives).
 
         Chain capacities are auto-sized (power-of-two buckets, _chain_cap)
         so every chain — near, loop coarse, loop fine — is matched whole,
@@ -297,6 +307,7 @@ class KartoMapper:
             minimum_distance_penalty=cfg.minimum_distance_penalty,
             minimum_angle_penalty=cfg.minimum_angle_penalty,
             use_response_expansion=cfg.use_response_expansion,
+            response_method=cfg.response_method,
         )
         self.loop_spec = CorrelativeSpec(
             resolution=cfg.loop_search_space_resolution,
@@ -311,7 +322,16 @@ class KartoMapper:
             minimum_distance_penalty=cfg.minimum_distance_penalty,
             minimum_angle_penalty=cfg.minimum_angle_penalty,
             use_response_expansion=cfg.use_response_expansion,
+            response_method=cfg.response_method,
         )
+        self._sharded_loop_match = None
+        if loop_mesh is not None:
+            from tpuslam.parallel.correlative import make_sharded_match_scan
+
+            self._sharded_loop_match = make_sharded_match_scan(
+                self.loop_spec, loop_mesh, loop_mesh_axis,
+                penalize=False, refine=False,
+            )
 
         b = cfg.num_beams
         # device-side scan store (local sensor-frame points, fixed capacity)
@@ -409,16 +429,31 @@ class KartoMapper:
         if cap is None:
             cap = self._chain_cap(len(chain))
         wpts, valid = self._gather_chain(chain, cap)
-        res = match_scan(
-            spec,
-            jnp.asarray(center, jnp.float32),
-            self._pts[sid],
-            self._valid[sid],
-            wpts,
-            valid,
-            penalize=penalize,
-            refine=refine,
-        )
+        if (
+            self._sharded_loop_match is not None
+            and spec is self.loop_spec
+            and not penalize
+            and not refine
+        ):
+            # multi-chip loop search: coarse lattice sharded over the mesh
+            res = self._sharded_loop_match(
+                jnp.asarray(center, jnp.float32),
+                self._pts[sid],
+                self._valid[sid],
+                wpts,
+                valid,
+            )
+        else:
+            res = match_scan(
+                spec,
+                jnp.asarray(center, jnp.float32),
+                self._pts[sid],
+                self._valid[sid],
+                wpts,
+                valid,
+                penalize=penalize,
+                refine=refine,
+            )
         return (
             np.asarray(res.pose, np.float64),
             float(res.response),

@@ -1,0 +1,140 @@
+"""Pallas TPU kernel: correlative response surfaces from a VMEM grid.
+
+The karto correlative matcher's response computation is
+``patches[a, dy, dx] = sum_p grid[ay_ap + dy, ax_ap + dx]`` — for every
+candidate angle a, the summed S x S neighborhoods of that angle's rotated
+scan points (reference semantics: GetResponse over the candidate lattice,
+Mapper.cpp:309-523/819-856).  The XLA formulations all hit a wall on TPU:
+
+- per-point ``dynamic_slice`` gathers cost ~1.2 us EACH (latency-bound:
+  4.9 ms for 21 angles x 180 points at the sequential operating point),
+- one big flat ``take`` is ~2x worse,
+- ``lax.conv`` with the grid as kernel wins standalone (2.1 ms) but
+  collapses 18x inside the karto ``lax.scan`` batch program,
+- FFT cross-correlation only wins at 15 m loop windows.
+
+This kernel keeps the WHOLE correlation grid resident in VMEM and walks
+the points with on-chip dynamic slices — no HBM latency per point.  Grid
+values are quantized multiples of 0.01 (the smear kernel, Mapper.h:
+1058-1090), so the grid is stored as exact small integers (x100, <= 100)
+in bf16 (integers <= 256 are exact in bf16) and accumulated in f32 via
+0/1-one-hot MXU matmuls: every patch sum is an exact integer < 2^24,
+bit-identical to the FFT/conv paths and within one f32 ulp of the patch
+path.  bf16 storage halves both the VMEM footprint (the reference's
+default 0.01 m sequential spec needs ~13.4 MB of the v5e's ~16 MB) and
+the per-point load bandwidth.
+
+Masking contract (matches the patch path): callers send dropped points
+(invalid beams, patches that leave the grid) to the zero landing strip at
+rows [G, G+S) by setting ay=G, ax=0.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+# bf16 VMEM tile is (16, 128): dynamic in-VMEM loads must start at
+# 16-aligned rows and 128-aligned cols
+_ROW_ALIGN = 16
+_COL_ALIGN = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _window(s: int) -> tuple[int, int]:
+    """Aligned containing-window side lengths for an s x s patch."""
+    rows = _round_up(s + _ROW_ALIGN - 1, _ROW_ALIGN)
+    cols = _round_up(s + _COL_ALIGN - 1, _COL_ALIGN)
+    return rows, cols
+
+
+@functools.partial(jax.jit, static_argnames=("s",))
+def patch_sums_pallas(
+    grid: Array,  # [G, G] f32 probabilities in [0, 1], multiples of 0.01
+    ay: Array,  # [nA, B] int32 patch top rows (pre-masked, see module doc)
+    ax: Array,  # [nA, B] int32 patch left cols
+    s: int,  # patch side (static)
+) -> Array:
+    """Summed S x S patches per angle: [nA, S, S] f32 (x100 integer sums)."""
+    g = grid.shape[0]
+    n_a, b = ay.shape
+    # aligned containing window per point: Mosaic only allows dynamic VMEM
+    # loads at tile-aligned offsets, so each point loads the aligned
+    # superset and extracts its s x s patch with two one-hot matmuls
+    rows, cols = _window(s)
+    gr = _round_up(g + rows, _ROW_ALIGN)  # zero landing strip for masked pts
+    gc = _round_up(g + cols, _COL_ALIGN)
+    grid100 = jnp.zeros((gr, gc), jnp.bfloat16)
+    grid100 = grid100.at[:g, :g].set(
+        jnp.round(grid * 100.0).astype(jnp.bfloat16)
+    )
+
+    def kernel(ay_ref, ax_ref, grid_ref, out_ref):
+        a = pl.program_id(0)
+        # extraction one-hot scaffolding (constant iotas, compared against
+        # the per-point offset inside the loop): sl = Prow @ big @ Pcol^T.
+        # Products are 0/1 x small ints — exact at any matmul precision.
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, (s, rows), 1)
+        rd_iota = jax.lax.broadcasted_iota(jnp.int32, (s, rows), 0)
+        c_iota = jax.lax.broadcasted_iota(jnp.int32, (s, cols), 1)
+        cd_iota = jax.lax.broadcasted_iota(jnp.int32, (s, cols), 0)
+
+        def body(p, acc):
+            y = ay_ref[a, p]
+            x = ax_ref[a, p]
+            ya = pl.multiple_of((y // _ROW_ALIGN) * _ROW_ALIGN, _ROW_ALIGN)
+            xa = pl.multiple_of((x // _COL_ALIGN) * _COL_ALIGN, _COL_ALIGN)
+            big = grid_ref[pl.ds(ya, rows), pl.ds(xa, cols)]
+            prow = (r_iota == rd_iota + (y - ya)).astype(jnp.bfloat16)
+            pcol = (c_iota == cd_iota + (x - xa)).astype(jnp.bfloat16)
+            tmp = jnp.dot(prow, big, preferred_element_type=jnp.float32)
+            sl = jax.lax.dot_general(
+                tmp.astype(jnp.bfloat16), pcol, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return acc + sl
+
+        acc = jax.lax.fori_loop(
+            0, b, body, jnp.zeros((s, s), jnp.float32)
+        )
+        out_ref[0] = acc
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_a,),
+        in_specs=[
+            # whole index arrays in SMEM (tiny), indexed by program_id
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            # constant index map: the grid is DMA'd to VMEM once and stays
+            pl.BlockSpec(
+                (gr, gc), lambda a: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, s, s), lambda a: (a, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_a, s, s), jnp.float32),
+        interpret=jax.default_backend() == "cpu",
+    )(ay, ax, grid100)
+
+
+def vmem_fits(g: int, s: int, budget_bytes: int = 14 * 1024 * 1024) -> bool:
+    """Whether the bf16 grid (+ landing strip, tile padding) fits VMEM.
+
+    Budget: the v5e accepts single resident blocks up to ~16 MB (measured);
+    14 MB leaves room for the patch accumulator and index arrays."""
+    rows, cols = _window(s)
+    return (
+        _round_up(g + rows, _ROW_ALIGN) * _round_up(g + cols, _COL_ALIGN) * 2
+        <= budget_bytes
+    )
