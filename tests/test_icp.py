@@ -159,3 +159,19 @@ def test_plicp_restart_knob():
     assert np.allclose(np.asarray(res.pose), want, atol=0.03)
     # restart must never be WORSE than the single-pass result
     assert float(res.mean_error) <= float(res0.mean_error) + 1e-6
+
+
+def test_plicp_line_uses_closer_neighbor():
+    """The second line point must be the CLOSER scan-neighbor of j1 (CSM
+    find_correspondences' best second point), with edge fallback."""
+    import jax.numpy as jnp
+
+    from tpuslam.match.plicp import _correspondences
+
+    ref = jnp.asarray([[0.0, 0], [1, 0], [2, 0], [3, 0], [4, 0]])
+    rv = jnp.ones(5, bool)
+    for x, want in ((2.3, 3), (1.8, 1), (0.2, 1), (3.9, 3)):
+        cur = jnp.asarray([[x, 0.1]])
+        oh1, oh2, _, ok = _correspondences(cur, jnp.ones(1, bool), ref, rv)
+        assert int(jnp.argmax(oh2[0])) == want, (x, jnp.argmax(oh2[0]))
+        assert bool(ok[0])

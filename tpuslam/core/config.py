@@ -35,6 +35,10 @@ class IcpConfig:
     max_iterations: int = 10  # PCL default
     max_correspondence_dist: float = 1.0
     transformation_epsilon: float = 1e-8
+    # NN-search backend (not a PCL knob): "auto" = the XLA chain (measured
+    # faster than the fused kernel's nearest mode for ICP's short chain —
+    # see match/icp.py); "pallas" opts into ops/pallas_plicp.py
+    correspondence_method: str = "auto"
     num_beams: int = 1500
 
 
@@ -79,6 +83,11 @@ class PlicpConfig:
     debug_verify_tricks: int = 0  # ignored
     use_ml_weights: int = 0  # ignored
     use_sigma_weights: int = 0  # ignored
+    # correspondence-search backend (not a CSM knob): "auto" runs the fused
+    # VMEM Pallas kernel on TPU (ops/pallas_plicp.py) and the XLA path on
+    # CPU; "xla" / "pallas" force one.  The alpha test reorders the gating,
+    # so do_alpha_test=1 always takes the XLA path.
+    correspondence_method: str = "auto"
 
     num_beams: int = 1500
 

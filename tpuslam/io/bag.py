@@ -77,16 +77,23 @@ def _repo_root() -> Path:
 
 
 def _native_lib() -> ctypes.CDLL | None:
-    """Build (once) and load the C++ codec; None if no toolchain."""
+    """Load the C++ codec; None if unavailable.
+
+    Search order: the setuptools-built ``tpuslam/_native/libtslg.so``
+    (``pip install .`` / ``setup.py build_ext --inplace``), then a lazy
+    g++ build of ``csrc/scanlog.cc`` for source checkouts."""
     global _LIB, _LIB_TRIED
     if _LIB is not None or _LIB_TRIED:
         return _LIB
     _LIB_TRIED = True
+    built = Path(__file__).resolve().parent.parent / "_native" / "libtslg.so"
     root = _repo_root()
     src = root / "csrc" / "scanlog.cc"
     so = root / "csrc" / "libtslg.so"
     try:
-        if src.exists() and (
+        if built.exists():
+            so = built
+        elif src.exists() and (
             not so.exists() or so.stat().st_mtime < src.stat().st_mtime
         ):
             subprocess.run(

@@ -169,7 +169,11 @@ def find_valid_points(pts: Array, valid: Array, viewpoint: Array) -> Array:
         new_first = jnp.where(decide, p, first)
         return new_first, (decide, keep)
 
-    _, (decide, keep_at_decision) = jax.lax.scan(fwd, first0, (pts, valid))
+    # unroll: each step is a handful of scalar-ish VPU ops, so loop
+    # overhead dominates — unroll=16 measured 27% faster on v5e
+    _, (decide, keep_at_decision) = jax.lax.scan(
+        fwd, first0, (pts, valid), unroll=16
+    )
 
     # point i is emitted by the first decision strictly AFTER i
     def bwd(carry, inp):
@@ -180,7 +184,8 @@ def find_valid_points(pts: Array, valid: Array, viewpoint: Array) -> Array:
         return new, out
 
     _, kept = jax.lax.scan(
-        bwd, jnp.zeros((), bool), (decide, keep_at_decision), reverse=True
+        bwd, jnp.zeros((), bool), (decide, keep_at_decision), reverse=True,
+        unroll=16,
     )
     return kept & valid
 

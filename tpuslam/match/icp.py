@@ -85,15 +85,33 @@ def icp(
         init_pose = jnp.zeros(3, dtype=src.dtype)
     max_d2 = cfg.max_correspondence_dist**2
 
+    # measured (v5e, batch 256x512 beams, 10 iters): XLA 8.5k matches/s vs
+    # the fused nearest-mode kernel's 5.9k — the 4-pass ICP chain fuses
+    # well enough that the packed kernel's serial per-pair walk loses, so
+    # "auto" stays on XLA (unlike PL-ICP's 8-pass chain, where the fused
+    # kernel wins 1.8x); "pallas" remains an explicit opt-in
+    method = cfg.correspondence_method
+    if method == "auto":
+        method = "xla"
+
     def body(pose, _):
         cur = se2.transform_points(pose, src)
-        idx, d2 = nearest_neighbors(cur, src_valid, dst, dst_valid)
-        w = (src_valid & (d2 < max_d2)).astype(src.dtype)
-        # matched point select as a one-hot matmul (TPU gathers are slow)
-        oh = (idx[:, None] == jnp.arange(dst.shape[0])[None, :]).astype(
-            src.dtype
-        )
-        matched = jnp.dot(oh, dst, precision=jax.lax.Precision.HIGHEST)
+        if method == "pallas":
+            # fused VMEM kernel: d2 + argmin + select in one pass
+            from tpuslam.ops.pallas_plicp import nearest_pallas
+
+            matched, d2, ok = nearest_pallas(
+                cur, src_valid, dst, dst_valid, jnp.float32(max_d2)
+            )
+            w = ok.astype(src.dtype)
+        else:
+            idx, d2 = nearest_neighbors(cur, src_valid, dst, dst_valid)
+            w = (src_valid & (d2 < max_d2)).astype(src.dtype)
+            # matched point select as a one-hot matmul (TPU gathers slow)
+            oh = (idx[:, None] == jnp.arange(dst.shape[0])[None, :]).astype(
+                src.dtype
+            )
+            matched = jnp.dot(oh, dst, precision=jax.lax.Precision.HIGHEST)
         delta = rigid_fit_2d(cur, matched, w)
         new_pose = se2.compose(delta, pose)
         n_in = jnp.sum(w)

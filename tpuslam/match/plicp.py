@@ -75,18 +75,21 @@ def _correspondences(
 
     cols = jnp.arange(n_ref)[None, :]
     oh1 = (j1[:, None] == cols).astype(cur.dtype)  # [B, B']
-    # value at column j1∓1 = one-hot reduce of the lane-rolled matrix
-    dm = jnp.sum(oh1 * jnp.roll(d2, -1, axis=-1), axis=-1)
-    dp = jnp.sum(oh1 * jnp.roll(d2, 1, axis=-1), axis=-1)
-    dm = jnp.where(j1 == 0, BIG, dm)  # no left neighbor at the scan edge
-    dp = jnp.where(j1 == n_ref - 1, BIG, dp)
-    left = dm < dp
+    # value at column j1±1 = one-hot reduce of the lane-rolled matrix:
+    # roll(d2, -1)[j] = d2[j+1], so reducing through oh1 reads d2[:, j1+1]
+    d_r = jnp.sum(oh1 * jnp.roll(d2, -1, axis=-1), axis=-1)  # d2[:, j1+1]
+    d_l = jnp.sum(oh1 * jnp.roll(d2, 1, axis=-1), axis=-1)  # d2[:, j1-1]
+    d_r = jnp.where(j1 == n_ref - 1, BIG, d_r)  # no right neighbor at end
+    d_l = jnp.where(j1 == 0, BIG, d_l)  # no left neighbor at start
+    right = d_r < d_l
+    # roll(oh1, 1)[j] = oh1[j-1] = 1 iff j == j1+1 — the CLOSER neighbor
+    # joins the line (CSM find_correspondences' best second point)
     oh2 = jnp.where(
-        left[:, None],
-        jnp.roll(oh1, -1, axis=-1),
+        right[:, None],
         jnp.roll(oh1, 1, axis=-1),
+        jnp.roll(oh1, -1, axis=-1),
     )
-    d2nd = jnp.minimum(dm, dp)
+    d2nd = jnp.minimum(d_r, d_l)
     ok = (d1 < BIG) & (d2nd < BIG)
     return oh1, oh2, d1, ok
 
@@ -144,9 +147,27 @@ def plicp(
     n_ref = ref.shape[0]
     fsrc = src_valid.astype(src.dtype)
 
+    # fused VMEM correspondence kernel on TPU (the XLA chain makes ~8 HBM
+    # passes over [B, B']); the alpha test reorders the doubles gating, so
+    # that knob pins the XLA path
+    method = cfg.correspondence_method
+    if method == "auto":
+        method = "xla" if jax.default_backend() == "cpu" else "pallas"
+    use_fused = method == "pallas" and not cfg.do_alpha_test
+
     def iteration(carry, _):
         pose, done = carry
         cur = se2.transform_points(pose, src)
+
+        if use_fused:
+            from tpuslam.ops.pallas_plicp import correspondences_pallas
+
+            q1, q2, d1, ok = correspondences_pallas(
+                cur, src_valid, ref, ref_valid,
+                jnp.float32(max_d2), bool(cfg.outliers_remove_doubles),
+            )
+            return _finish_iteration(pose, done, cur, q1, q2, d1, ok)
+
         oh1, oh2, d1, ok = _correspondences(cur, src_valid, ref, ref_valid)
         ok = ok & (d1 < max_d2)
 
@@ -191,6 +212,11 @@ def plicp(
 
         q1 = jnp.dot(oh1, ref, precision=jax.lax.Precision.HIGHEST)
         q2 = jnp.dot(oh2, ref, precision=jax.lax.Precision.HIGHEST)
+        return _finish_iteration(pose, done, cur, q1, q2, d1, ok)
+
+    def _finish_iteration(pose, done, cur, q1, q2, d1, ok):
+        """Residual, trim, and the GN/point-to-point update — shared by the
+        XLA and fused-Pallas correspondence paths."""
         r, n = _point_line_residual(cur, q1, q2)
         dist = jnp.abs(r)
 
