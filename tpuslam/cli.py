@@ -267,6 +267,22 @@ def cmd_occupancy(args):
     )
 
 
+def _make_map_publisher(period, exporter):
+    """MapPublisher wired to a stderr JSON sink (image elided from logs)."""
+    from tpuslam.utils.events import EventBus
+    from tpuslam.utils.map_server import MapPublisher
+
+    bus = EventBus()
+
+    def _sink(event, payload):
+        rec = {k: (list(v) if isinstance(v, tuple) else v)
+               for k, v in payload.items() if k != "image"}
+        print(json.dumps({"event": event, **rec}), file=sys.stderr)
+
+    bus.subscribe(_sink)
+    return MapPublisher(bus, exporter, period=period)
+
+
 def cmd_hector(args):
     import jax.numpy as jnp
 
@@ -292,11 +308,20 @@ def cmd_hector(args):
         st = st._replace(pose=jnp.asarray(true[0], jnp.float32))
     st, _ = hector_slam.step(cfg, st, log.scan(0), map_without_matching=True)
     timer = StepTimer()
+    pub = None
+    if getattr(args, "map_stream", None) is not None:
+        # hector's map_pub_period publish thread analog
+        # (hector_slam.cc:86, 253-317)
+        pub = _make_map_publisher(
+            args.map_stream, lambda: np.asarray(hector_slam.occupancy_image(st))
+        )
     poses = [np.asarray(st.pose)]
     for i in range(1, len(log)):
         with timer.stage("hector_step"):
             st, res = hector_slam.step(cfg, st, log.scan(i))
         poses.append(np.asarray(st.pose))
+        if pub is not None:
+            pub.maybe_publish(float(log.stamps[i]))
     poses = np.stack(poses)
     if args.report:
         print(timer.report(), file=sys.stderr)
@@ -387,24 +412,13 @@ def _run_karto(args, log, true, cfg, mapper):
     timer = StepTimer()
     pub = None
     if getattr(args, "map_stream", None) is not None:
-        from tpuslam.utils.events import EventBus
-        from tpuslam.utils.map_server import MapPublisher
-
-        bus = EventBus()
-
-        def _sink(event, payload):
-            rec = {k: (list(v) if isinstance(v, tuple) else v)
-                   for k, v in payload.items() if k != "image"}
-            print(json.dumps({"event": event, **rec}), file=sys.stderr)
-
-        bus.subscribe(_sink)
 
         def _export():
             g = mapper.occupancy_grid()
             return (np.asarray(g[1]) if g is not None
                     else np.zeros((1, 1), np.int8))
 
-        pub = MapPublisher(bus, _export, period=args.map_stream)
+        pub = _make_map_publisher(args.map_stream, _export)
     loops = 0
     kept_truth = []
     for i in range(len(log)):
@@ -476,6 +490,11 @@ def main(argv=None):
     args = ap.parse_args(argv)
     if not args.log and not args.synthetic and args.cmd != "synth":
         ap.error("provide --log PATH or --synthetic")
+    if (getattr(args, "map_stream", None) is not None
+            and args.cmd not in ("karto", "hector")):
+        print(f"warning: --map-stream is only implemented for the karto "
+              f"and hector workloads; ignored for {args.cmd}",
+              file=sys.stderr)
     args.fn(args)
 
 

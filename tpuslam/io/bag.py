@@ -91,7 +91,11 @@ def _native_lib() -> ctypes.CDLL | None:
     src = root / "csrc" / "scanlog.cc"
     so = root / "csrc" / "libtslg.so"
     try:
-        if built.exists():
+        if built.exists() and (
+            not src.exists()
+            or built.stat().st_mtime >= src.stat().st_mtime
+        ):
+            # setuptools-built and not older than the source
             so = built
         elif src.exists() and (
             not so.exists() or so.stat().st_mtime < src.stat().st_mtime

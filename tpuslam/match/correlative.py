@@ -305,18 +305,16 @@ def _correlate(
     patch_bytes = n_angles * b * size * size * 4
     method = spec.response_method
     if method == "auto":
-        if jax.default_backend() == "cpu":
-            method = "fft" if patch_bytes > 192 * 1024 * 1024 else "patch"
-        else:
+        if jax.default_backend() == "tpu":
             # TPU: per-slice gathers are latency-bound (~1.2 us each) — use
             # the VMEM-resident Pallas kernel whenever the grid fits,
-            # falling back to the size rule above for oversized grids
+            # falling back to the size rule below for oversized grids
             from tpuslam.ops.pallas_correlative import vmem_fits
 
             if vmem_fits(g, size):
                 method = "pallas"
-            else:
-                method = "fft" if patch_bytes > 192 * 1024 * 1024 else "patch"
+        if method == "auto":  # cpu/gpu, or grid too big for VMEM
+            method = "fft" if patch_bytes > 192 * 1024 * 1024 else "patch"
 
     if method == "pallas":
         from tpuslam.ops.pallas_correlative import patch_sums_pallas

@@ -152,7 +152,9 @@ def plicp(
     # that knob pins the XLA path
     method = cfg.correspondence_method
     if method == "auto":
-        method = "xla" if jax.default_backend() == "cpu" else "pallas"
+        # the fused kernel is pallas.tpu-specific; any other backend
+        # (cpu, gpu) takes the portable XLA chain
+        method = "pallas" if jax.default_backend() == "tpu" else "xla"
     use_fused = method == "pallas" and not cfg.do_alpha_test
 
     def iteration(carry, _):

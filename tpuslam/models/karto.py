@@ -1125,15 +1125,35 @@ class KartoMapper:
         xmax = poses[:, 0].max() + margin
         ymin = poses[:, 1].min() - margin
         ymax = poses[:, 1].max() + margin
+        # bucket the grid origin/dims (64-cell steps) and the scan count
+        # (powers of two): GridSpec is a static jit arg, so periodic
+        # exports (--map-stream) would otherwise recompile the fold at
+        # EVERY bounds/scan-count change; bucketing makes the compiled
+        # shapes piecewise-constant as the map grows
+        def _bucket(c, m=64):
+            return m * int(math.ceil(c / m))
+
+        cell64 = 64 * res
+        xmin = math.floor(xmin / cell64) * cell64
+        ymin = math.floor(ymin / cell64) * cell64
         spec = GridSpec(
             res,
-            int(math.ceil((xmax - xmin) / res)),
-            int(math.ceil((ymax - ymin) / res)),
+            _bucket(int(math.ceil((xmax - xmin) / res))),
+            _bucket(int(math.ceil((ymax - ymin) / res))),
             xmin,
             ymin,
         )
+        cap = max(16, 1 << (n - 1).bit_length())
+        pad = cap - n
+        poses = np.concatenate([poses, np.zeros((pad, 3))])
         jposes = jnp.asarray(poses, jnp.float32)
-        wpts = se2.transform_points(jposes, self._pts[:n])
+        pts_n = jnp.concatenate(
+            [self._pts[:n], jnp.zeros((pad,) + self._pts.shape[1:])]
+        )
+        valid_n = jnp.concatenate(
+            [self._valid[:n], jnp.zeros((pad,) + self._valid.shape[1:], bool)]
+        )
+        wpts = se2.transform_points(jposes, pts_n)
         max_steps = int(cfg.use_scan_range / res) + 2
 
         @partial(jax.jit, static_argnames=("sp", "steps"))
@@ -1153,7 +1173,7 @@ class KartoMapper:
             spec,
             spec.world_to_map(jposes[:, :2]),
             spec.world_to_map(wpts),
-            self._valid[:n],
+            valid_n,
             max_steps,
         )
         return spec, karto_export(

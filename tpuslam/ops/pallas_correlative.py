@@ -38,16 +38,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tpuslam.ops.mxu_interp import round_up as _round_up
+
 Array = jax.Array
 
 # bf16 VMEM tile is (16, 128): dynamic in-VMEM loads must start at
 # 16-aligned rows and 128-aligned cols
 _ROW_ALIGN = 16
 _COL_ALIGN = 128
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def _window(s: int) -> tuple[int, int]:

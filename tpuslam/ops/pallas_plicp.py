@@ -48,12 +48,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
+from tpuslam.ops.mxu_interp import round_up as _round_up
+
 BIG = 1e9
 PACK = 8  # pairs per program (sublane-aligned batch packing)
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def _corr_kernel(
@@ -189,7 +187,12 @@ def _corr_fn(remove_doubles: bool, line: bool = True):
         sv_b = bcast(sv, in_batched[1])
         ref_b = bcast(ref, in_batched[2])
         rv_b = bcast(rv, in_batched[3])
-        md2 = max_d2[0] if in_batched[4] else max_d2  # scalar cutoff
+        if in_batched[4]:
+            raise NotImplementedError(
+                "per-pair max_d2 under vmap is not supported by the packed "
+                "kernel; pass a shared scalar cutoff"
+            )
+        md2 = max_d2  # scalar cutoff
         outs = _corr_batched(cur_b, sv_b, ref_b, rv_b, md2,
                              remove_doubles, line)
         return outs, (True, True, True, True)

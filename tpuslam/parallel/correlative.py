@@ -70,23 +70,7 @@ def make_sharded_match_scan(
     CorrelativeResult`` with the same semantics (and bit-exact results) as
     :func:`tpuslam.match.correlative.match_scan`.
     """
-    if spec.response_method in ("auto", "pallas", "conv"):
-        # GSPMD cannot partition an opaque pallas_call/giant-kernel conv
-        # along the angle axis — pin an XLA-partitionable response method
-        # (the loop-scale windows this sharding targets are FFT territory)
-        import dataclasses as _dc
-
-        half = int(round(float(np.max(np.abs(spec.coarse_xy())))
-                         / spec.resolution)) + 1
-        size = 2 * half + 1
-        patch_bytes = len(spec.coarse_angles()) * 1024 * size * size * 4
-        spec = _dc.replace(
-            spec,
-            response_method=(
-                "fft" if patch_bytes > 192 * 1024 * 1024 else "patch"
-            ),
-        )
-
+    base_spec = spec
     n = mesh.shape[axis]
     coarse_a, coarse_m = _pad_angles(spec.coarse_angles(), n)
     expansions = tuple(
@@ -99,6 +83,26 @@ def make_sharded_match_scan(
     rep = NamedSharding(mesh, P())
 
     def body(center_pose, local_pts, valid, base_pts, base_valid, angles):
+        if base_spec.response_method in ("auto", "pallas", "conv"):
+            # GSPMD cannot partition an opaque pallas_call/giant-kernel
+            # conv along the angle axis — pin an XLA-partitionable
+            # response method, sized with the ACTUAL beam count (the
+            # loop-scale windows this sharding targets are FFT territory)
+            import dataclasses as _dc
+
+            half = int(round(float(np.max(np.abs(base_spec.coarse_xy())))
+                             / base_spec.resolution)) + 1
+            size = 2 * half + 1
+            patch_bytes = (len(base_spec.coarse_angles())
+                           * local_pts.shape[0] * size * size * 4)
+            spec = _dc.replace(
+                base_spec,
+                response_method=(
+                    "fft" if patch_bytes > 192 * 1024 * 1024 else "patch"
+                ),
+            )
+        else:
+            spec = base_spec
         (ca, cm), exp_aw, (fa, fm) = angles
         vp_valid = jax.vmap(
             lambda p, v: find_valid_points(p, v, center_pose[:2])

@@ -32,7 +32,8 @@ class MapPublisher:
     """Call :meth:`maybe_publish` after every processed scan.
 
     exporter: zero-arg callable returning the current occupancy image
-    (e.g. ``lambda: mapper.occupancy_grid()[0]`` or a hector grid export).
+    (e.g. ``lambda: mapper.occupancy_grid()[1]`` — element 0 is the
+    GridSpec — or a hector grid export).
     Timestamps are the caller's scan clock (bag time), matching the
     reference's use of scan-header stamps, karto_slam.cc:313-316."""
 
