@@ -169,11 +169,10 @@ def find_valid_points(pts: Array, valid: Array, viewpoint: Array) -> Array:
         new_first = jnp.where(decide, p, first)
         return new_first, (decide, keep)
 
-    # unroll: each step is a handful of scalar-ish VPU ops, so loop
-    # overhead dominates — unroll=16 measured 27% faster on v5e
-    _, (decide, keep_at_decision) = jax.lax.scan(
-        fwd, first0, (pts, valid), unroll=16
-    )
+    # NOTE: unroll=16 measured 27% faster standalone on v5e but blew the
+    # Mosaic/XLA compile of the big vmapped karto programs past 10 min
+    # (16x program bloat under vmap x chains x batch) — keep unroll=1
+    _, (decide, keep_at_decision) = jax.lax.scan(fwd, first0, (pts, valid))
 
     # point i is emitted by the first decision strictly AFTER i
     def bwd(carry, inp):
@@ -184,8 +183,7 @@ def find_valid_points(pts: Array, valid: Array, viewpoint: Array) -> Array:
         return new, out
 
     _, kept = jax.lax.scan(
-        bwd, jnp.zeros((), bool), (decide, keep_at_decision), reverse=True,
-        unroll=16,
+        bwd, jnp.zeros((), bool), (decide, keep_at_decision), reverse=True
     )
     return kept & valid
 

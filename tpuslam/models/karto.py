@@ -828,6 +828,14 @@ class KartoMapper:
         batch_spec = dataclasses.replace(
             self.seq_spec, use_response_expansion=False
         )
+        if parallel and batch_spec.response_method in ("auto", "pallas"):
+            # vmap auto-batches the Pallas response kernel legally but the
+            # Mosaic compile of the combined program runs minutes — pin
+            # the XLA patch path; sequential batch mode (lax.scan over a
+            # single kernel instance) keeps pallas
+            batch_spec = dataclasses.replace(
+                batch_spec, response_method="patch"
+            )
 
         def flush():
             nonlocal last_odom, last_time
