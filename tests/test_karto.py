@@ -3,6 +3,7 @@
 import math
 
 import numpy as np
+import pytest
 
 from tpuslam.core.config import KartoConfig
 from tpuslam.core.scan import make_scan
@@ -331,3 +332,80 @@ def test_batch_expansion_retry_fires_on_blind_scan():
     res = m.process_batch(scans, odoms, batch_size=8)
     assert all(r.processed for r in res)
     assert m.stats["expansion_retries"] >= 1
+
+
+@pytest.mark.slow
+def test_outdoor_preset_end_to_end_loop_closure():
+    """End-to-end KartoMapper run at the outdoor operating point
+    (mapper_params_outdoor.yaml: 15 m @ 0.1 m loop window, 0.3 m @ 0.05 m
+    sequential window, chain >= 5, coarse 0.35 / fine 0.45): a rectangular
+    circuit in a large world must fire a loop closure and come back
+    globally consistent.  use_scan_range trimmed 50 -> 18 m for the CPU
+    test budget (grid sizes scale with it; the 15 m loop window — the
+    round-1 gap — is kept at full size)."""
+    import dataclasses
+
+    from tpuslam.core.config import outdoor_karto_config
+    from tpuslam.io.simulate import rect_room
+
+    rng = np.random.default_rng(11)
+    # 24 x 18 m world with interior boxes for matchable structure
+    segs = np.concatenate(
+        [rect_room(24.0, 18.0)]
+        + [_box_segs(c) for c in
+           [(-6.0, -3.0), (5.0, 2.5), (-2.0, 4.5), (7.0, -2.5)]]
+    )
+    cfg = dataclasses.replace(
+        outdoor_karto_config(),
+        num_beams=180,
+        use_scan_range=18.0,
+        scan_buffer_size=20,
+        scan_buffer_maximum_scan_distance=12.0,
+    )
+    m = KartoMapper(cfg, max_scans=128)
+
+    # rectangular circuit: 14 x 8 m, 0.8 m steps, closing past the start
+    wps = []
+    for x in np.arange(-7.0, 7.0, 0.8):
+        wps.append((x, -4.0, 0.0))
+    for y in np.arange(-4.0, 4.0, 0.8):
+        wps.append((7.0, y, math.pi / 2))
+    for x in np.arange(7.0, -7.0, -0.8):
+        wps.append((x, 4.0, math.pi))
+    for y in np.arange(4.0, -4.8, -0.8):
+        wps.append((-7.0, y, -math.pi / 2))
+    wps.append((-6.2, -4.0, 0.0))  # re-enter the first edge
+
+    true_list, est_list = [], []
+    closed = False
+    odom = np.asarray(wps[0], float)
+    prev_true = np.asarray(wps[0], float)
+    for wp in wps:
+        true = np.asarray(wp, float)
+        step = _np_relative(prev_true, true)
+        odom = _np_compose(odom, step + rng.normal(0, [0.012, 0.012, 0.006]))
+        prev_true = true
+        r, amin, ainc = simulate_scan(segs, true, num_beams=180,
+                                      max_range=20.0)
+        sc = make_scan(r, angle_min=amin, angle_increment=ainc,
+                       range_min=0.1, range_max=20.0, num_beams=180)
+        res = m.process(sc, odom, time=0.0)
+        if res.processed:
+            true_list.append(true.copy())
+            est_list.append(res.pose.copy())
+            closed |= res.loop_closed
+    assert closed, "no loop closure fired on the outdoor circuit"
+    assert m.stats["loop_closures"] >= 1
+    n = len(m.records)
+    true_arr = np.stack(true_list)[:n]
+    ate = np.sqrt(((m.poses[:n, :2] - true_arr[:, :2]) ** 2).sum(1)).mean()
+    odo_err = np.hypot(*(odom - true_list[-1])[:2])
+    assert ate < max(0.35, odo_err), (ate, odo_err)
+
+
+def _box_segs(center, half=0.6):
+    """Axis-aligned box obstacle as [4, 2, 2] wall segments."""
+    cx, cy = center
+    corners = np.array([[cx - half, cy - half], [cx + half, cy - half],
+                        [cx + half, cy + half], [cx - half, cy + half]])
+    return np.stack([corners, np.roll(corners, -1, axis=0)], axis=1)
