@@ -13,6 +13,8 @@ Metrics (all on the default accelerator):
 - karto_scans_per_sec           end-to-end karto frontend (batch mode,
                                 device work 1 dispatch / 16 scans)
 - grid_cell_updates_per_sec     hector log-odds scan rasterization
+- feature_extracts_per_sec      lesson1 curvature feature extraction
+- undistorts_per_sec            lesson5 scan undistortion
 - solver_edge_updates_per_sec   pose-graph LM+PCG throughput
 """
 
@@ -32,7 +34,9 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 def timed(fn, *args, iters=10):
     """Per-iteration host fetch of one output leaf: conservative (includes
     dispatch + transfer) but honest — ``block_until_ready`` does not reliably
-    await execution on tunneled PJRT backends."""
+    await execution on tunneled PJRT backends.  Best of 3 windows: the
+    tunnel shows transient multi-x stalls; the max-throughput window is
+    still an honest fetched-every-iteration measurement."""
     import jax
 
     def settle(out):
@@ -40,10 +44,14 @@ def timed(fn, *args, iters=10):
         jax.device_get(leaf)
 
     settle(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        settle(fn(*args))
-    return (time.perf_counter() - t0) / iters
+    per = max(1, iters // 3)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(per):
+            settle(fn(*args))
+        best = min(best, (time.perf_counter() - t0) / per)
+    return best
 
 
 _OUT_PATH: pathlib.Path | None = None
@@ -262,6 +270,61 @@ def bench_grid(batch, iters):
     emit("grid_cell_updates_per_sec", cells / dt, "cells/s (approx)")
 
 
+def bench_features(batch, iters):
+    """Lesson1 curvature feature extraction, batched over scans."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuslam.core.config import FeatureConfig
+    from tpuslam.core.scan import make_scan
+    from tpuslam.io.simulate import rect_room, simulate_scan
+    from tpuslam.ops.features import extract_features
+
+    segs = rect_room(8.0, 6.0)
+    rng = np.random.default_rng(0)
+    scans = []
+    for i in range(batch):
+        p = rng.uniform(-0.2, 0.2, 3)
+        r, amin, ainc = simulate_scan(segs, p, num_beams=512, max_range=20.0)
+        scans.append(make_scan(r, angle_min=amin, angle_increment=ainc,
+                               range_min=0.1, range_max=20.0, num_beams=512))
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *scans)
+    cfg = FeatureConfig()
+    dt = timed(lambda: extract_features(cfg, stacked).curvature, iters=iters)
+    emit("feature_extracts_per_sec", batch / dt, "scans/s")
+
+
+def bench_undistort(batch, iters):
+    """Lesson5 scan undistortion (gyro integration + per-beam interp)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuslam.core.config import UndistortConfig
+    from tpuslam.core.scan import make_scan
+    from tpuslam.io.simulate import rect_room, simulate_scan
+    from tpuslam.models.undistort import make_imu_buffer, undistort
+
+    segs = rect_room(8.0, 6.0)
+    rng = np.random.default_rng(0)
+    cfg = UndistortConfig()
+    scans = []
+    for i in range(batch):
+        p = rng.uniform(-0.2, 0.2, 3)
+        r, amin, ainc = simulate_scan(segs, p, num_beams=512, max_range=20.0)
+        scans.append(make_scan(r, angle_min=amin, angle_increment=ainc,
+                               range_min=0.1, range_max=20.0, num_beams=512))
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *scans)
+    imu = make_imu_buffer(np.linspace(0.0, 0.1, 16),
+                          np.full(16, 0.3, np.float32), 64)
+    rel = jnp.asarray([0.05, 0.0, 0.03], jnp.float32)
+
+    run = jax.jit(jax.vmap(
+        lambda sc: undistort(cfg, sc, imu, rel, 0.0, 0.1)[0]
+    ))
+    dt = timed(lambda: run(stacked), iters=iters)
+    emit("undistorts_per_sec", batch / dt, "scans/s")
+
+
 def bench_solver(iters):
     import jax.numpy as jnp
 
@@ -303,6 +366,8 @@ def main():
     bench_loop_match(iters)
     bench_karto_pipeline(64 if args.quick else 256)
     bench_grid(64 if args.quick else 256, iters)
+    bench_features(batch, iters)
+    bench_undistort(batch, iters)
     bench_solver(iters)
 
 
