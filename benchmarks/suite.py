@@ -290,7 +290,13 @@ def bench_features(batch, iters):
                                range_min=0.1, range_max=20.0, num_beams=512))
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *scans)
     cfg = FeatureConfig()
-    dt = timed(lambda: extract_features(cfg, stacked).curvature, iters=iters)
+
+    # fetch a scalar reduction: the [batch, B] outputs are ~2 MB and the
+    # tunneled host link (~100 MB/s) would dominate the measurement; the
+    # sum forces the full computation
+    run = jax.jit(lambda s: jax.tree.map(
+        jnp.sum, extract_features(cfg, s).curvature))
+    dt = timed(lambda: run(stacked), iters=iters)
     emit("feature_extracts_per_sec", batch / dt, "scans/s")
 
 
@@ -318,9 +324,10 @@ def bench_undistort(batch, iters):
                           np.full(16, 0.3, np.float32), 64)
     rel = jnp.asarray([0.05, 0.0, 0.03], jnp.float32)
 
-    run = jax.jit(jax.vmap(
+    # scalar-reduced fetch (see bench_features)
+    run = jax.jit(lambda st: jnp.sum(jax.vmap(
         lambda sc: undistort(cfg, sc, imu, rel, 0.0, 0.1)[0]
-    ))
+    )(st)))
     dt = timed(lambda: run(stacked), iters=iters)
     emit("undistorts_per_sec", batch / dt, "scans/s")
 

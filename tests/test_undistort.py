@@ -166,3 +166,29 @@ def test_three_axis_corrects_rolling_platform():
     np.testing.assert_allclose(p3[:, 2], np.sin(roll) * raw[:, 1], atol=5e-3)
     # and x is untouched by pure roll
     np.testing.assert_allclose(p3[:, 0], raw[:, 0], atol=5e-3)
+
+
+def test_interp_bracketed_matches_jnp_interp():
+    """The gather-free interpolation must match jnp.interp exactly on
+    ascending grids, including boundary clamps, scalars, and inf padding."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpuslam.models.undistort import interp_bracketed
+
+    rng = np.random.default_rng(0)
+    xs = np.sort(rng.uniform(0.0, 1.0, 16)).astype(np.float32)
+    xs_pad = np.concatenate([xs, np.full(8, 1e30, np.float32)])
+    ys = rng.normal(0, 1, 24).astype(np.float32)
+    ys[16:] = ys[15]  # padded tail holds the last value (cumsum w/ dt=0)
+    t = rng.uniform(-0.2, 1.2, 64).astype(np.float32)
+    got = np.asarray(interp_bracketed(jnp.asarray(t), jnp.asarray(xs_pad),
+                                      jnp.asarray(ys)))
+    want = np.asarray(jnp.interp(jnp.asarray(t), jnp.asarray(xs_pad),
+                                 jnp.asarray(ys)))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    # scalar query
+    s = interp_bracketed(jnp.float32(0.5), jnp.asarray(xs_pad),
+                         jnp.asarray(ys))
+    np.testing.assert_allclose(
+        float(s), float(jnp.interp(0.5, xs_pad, ys)), rtol=1e-6)

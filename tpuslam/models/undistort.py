@@ -72,6 +72,31 @@ def make_imu_buffer(stamps, wz, capacity: int, wx=None, wy=None) -> ImuBuffer:
     )
 
 
+def interp_bracketed(t: Array, xs: Array, ys: Array) -> Array:
+    """``jnp.interp`` equivalent without searchsorted/gathers.
+
+    TPU lowers interp's searchsorted + element gathers to latency-bound
+    scalar loads (measured 152 ms for a 1024x512-beam undistort batch);
+    this formulation brackets each query with a [B, K] comparison matrix
+    and selects endpoints by masked reduces — pure VPU work, exact f32
+    (no MXU rounding on the absolute timestamps).  Matches np.interp for
+    ascending ``xs`` including the boundary clamps."""
+    k = xs.shape[0]
+    t1d = jnp.atleast_1d(t)
+    ge = t1d[:, None] >= xs[None, :]
+    idx = jnp.clip(jnp.sum(ge, axis=1) - 1, 0, k - 2)
+    cols = jnp.arange(k)[None, :]
+    oh0 = idx[:, None] == cols
+    oh1 = idx[:, None] + 1 == cols
+    x0 = jnp.sum(jnp.where(oh0, xs[None, :], 0.0), axis=1)
+    x1 = jnp.sum(jnp.where(oh1, xs[None, :], 0.0), axis=1)
+    y0 = jnp.sum(jnp.where(oh0, ys[None, :], 0.0), axis=1)
+    y1 = jnp.sum(jnp.where(oh1, ys[None, :], 0.0), axis=1)
+    w = jnp.clip((t1d - x0) / jnp.maximum(x1 - x0, 1e-12), 0.0, 1.0)
+    out = y0 + w * (y1 - y0)
+    return out.reshape(jnp.shape(t))
+
+
 def integrate_gyro(imu: ImuBuffer, t0: Array, rates: Array) -> Array:
     """Cumulative rotation from scan start: rot[k] = sum w*dt from t0
     (lidar_undistortion.cc:213-249).  Samples before t0 contribute 0."""
@@ -101,7 +126,7 @@ def undistort(
 
         def rel_rot(rates):
             cum = integrate_gyro(imu, t0, rates)
-            return jnp.interp(t_i, safe_stamps, cum) - jnp.interp(
+            return interp_bracketed(t_i, safe_stamps, cum) - interp_bracketed(
                 t0, safe_stamps, cum
             )
 
