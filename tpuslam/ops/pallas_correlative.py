@@ -78,28 +78,29 @@ def patch_sums_pallas(
 
     def kernel(ay_ref, ax_ref, grid_ref, out_ref):
         a = pl.program_id(0)
-        # extraction one-hot scaffolding (constant iotas, compared against
-        # the per-point offset inside the loop): sl = Prow @ big @ Pcol^T.
-        # Products are 0/1 x small ints — exact at any matmul precision.
-        r_iota = jax.lax.broadcasted_iota(jnp.int32, (s, rows), 1)
-        rd_iota = jax.lax.broadcasted_iota(jnp.int32, (s, rows), 0)
-        c_iota = jax.lax.broadcasted_iota(jnp.int32, (s, cols), 1)
-        cd_iota = jax.lax.broadcasted_iota(jnp.int32, (s, cols), 0)
 
         def body(p, acc):
             y = ay_ref[a, p]
             x = ax_ref[a, p]
             ya = pl.multiple_of((y // _ROW_ALIGN) * _ROW_ALIGN, _ROW_ALIGN)
             xa = pl.multiple_of((x // _COL_ALIGN) * _COL_ALIGN, _COL_ALIGN)
-            big = grid_ref[pl.ds(ya, rows), pl.ds(xa, cols)]
-            prow = (r_iota == rd_iota + (y - ya)).astype(jnp.bfloat16)
-            pcol = (c_iota == cd_iota + (x - xa)).astype(jnp.bfloat16)
-            tmp = jnp.dot(prow, big, preferred_element_type=jnp.float32)
-            sl = jax.lax.dot_general(
-                tmp.astype(jnp.bfloat16), pcol, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+            # cast before rolling: Mosaic's dynamic roll crashes on bf16
+            # operands (f32 is fine; storage stays bf16)
+            big = grid_ref[pl.ds(ya, rows), pl.ds(xa, cols)].astype(
+                jnp.float32
             )
-            return acc + sl
+            # dynamic circular shifts move the patch to the top-left
+            # corner — two VPU shuffles instead of two one-hot MXU
+            # matmuls (measured faster; numerically identical — pure
+            # element movement).  No wrap reaches [:s, :s]: the window
+            # over-allocates by one alignment unit on each axis.
+            # NOTE: shifts must be the POSITIVE equivalents — Mosaic's
+            # dynamic roll mis-rotates NEGATIVE shifts by +16 on
+            # non-power-of-two dims (measured: rows 40/48 sublane rolls
+            # and cols 384 lane rolls; shift == dim is a correct no-op).
+            up = pltpu.roll(big, shift=rows - (y - ya), axis=0)
+            left = pltpu.roll(up, shift=cols - (x - xa), axis=1)
+            return acc + left[:s, :s]
 
         acc = jax.lax.fori_loop(
             0, b, body, jnp.zeros((s, s), jnp.float32)
