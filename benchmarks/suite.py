@@ -92,6 +92,28 @@ def scan_fixtures(num_beams=512, batch=256):
     return jnp.stack(pts), jnp.stack(valid), poses
 
 
+def stacked_scan_fixture(batch, num_beams=512, time_increment=0.0):
+    """Batch of simulated Scan pytrees stacked along a leading axis."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuslam.core.scan import make_scan
+    from tpuslam.io.simulate import rect_room, simulate_scan
+
+    segs = rect_room(8.0, 6.0)
+    rng = np.random.default_rng(0)
+    scans = []
+    for _ in range(batch):
+        p = rng.uniform(-0.2, 0.2, 3)
+        r, amin, ainc = simulate_scan(segs, p, num_beams=num_beams,
+                                      max_range=20.0)
+        scans.append(make_scan(r, angle_min=amin, angle_increment=ainc,
+                               range_min=0.1, range_max=20.0,
+                               time_increment=time_increment,
+                               num_beams=num_beams))
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *scans)
+
+
 def bench_hector(batch, iters):
     import contextlib
     import io
@@ -276,19 +298,9 @@ def bench_features(batch, iters):
     import jax.numpy as jnp
 
     from tpuslam.core.config import FeatureConfig
-    from tpuslam.core.scan import make_scan
-    from tpuslam.io.simulate import rect_room, simulate_scan
     from tpuslam.ops.features import extract_features
 
-    segs = rect_room(8.0, 6.0)
-    rng = np.random.default_rng(0)
-    scans = []
-    for i in range(batch):
-        p = rng.uniform(-0.2, 0.2, 3)
-        r, amin, ainc = simulate_scan(segs, p, num_beams=512, max_range=20.0)
-        scans.append(make_scan(r, angle_min=amin, angle_increment=ainc,
-                               range_min=0.1, range_max=20.0, num_beams=512))
-    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *scans)
+    stacked = stacked_scan_fixture(batch)
     cfg = FeatureConfig()
 
     # fetch a scalar reduction: the [batch, B] outputs are ~2 MB and the
@@ -306,20 +318,12 @@ def bench_undistort(batch, iters):
     import jax.numpy as jnp
 
     from tpuslam.core.config import UndistortConfig
-    from tpuslam.core.scan import make_scan
-    from tpuslam.io.simulate import rect_room, simulate_scan
     from tpuslam.models.undistort import make_imu_buffer, undistort
 
-    segs = rect_room(8.0, 6.0)
-    rng = np.random.default_rng(0)
     cfg = UndistortConfig()
-    scans = []
-    for i in range(batch):
-        p = rng.uniform(-0.2, 0.2, 3)
-        r, amin, ainc = simulate_scan(segs, p, num_beams=512, max_range=20.0)
-        scans.append(make_scan(r, angle_min=amin, angle_increment=ainc,
-                               range_min=0.1, range_max=20.0, num_beams=512))
-    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *scans)
+    # nonzero time_increment: beams get distinct stamps so the per-beam
+    # bracketing/rotation work is real, not a degenerate identity
+    stacked = stacked_scan_fixture(batch, time_increment=0.1 / 512)
     imu = make_imu_buffer(np.linspace(0.0, 0.1, 16),
                           np.full(16, 0.3, np.float32), 64)
     rel = jnp.asarray([0.05, 0.0, 0.03], jnp.float32)

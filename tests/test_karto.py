@@ -376,7 +376,7 @@ def test_outdoor_preset_end_to_end_loop_closure():
         wps.append((-7.0, y, -math.pi / 2))
     wps.append((-6.2, -4.0, 0.0))  # re-enter the first edge
 
-    true_list, est_list = [], []
+    true_list = []
     closed = False
     odom = np.asarray(wps[0], float)
     prev_true = np.asarray(wps[0], float)
@@ -392,7 +392,6 @@ def test_outdoor_preset_end_to_end_loop_closure():
         res = m.process(sc, odom, time=0.0)
         if res.processed:
             true_list.append(true.copy())
-            est_list.append(res.pose.copy())
             closed |= res.loop_closed
     assert closed, "no loop closure fired on the outdoor circuit"
     assert m.stats["loop_closures"] >= 1

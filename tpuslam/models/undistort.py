@@ -82,7 +82,7 @@ def interp_bracketed(t: Array, xs: Array, ys: Array) -> Array:
     (no MXU rounding on the absolute timestamps).  Matches np.interp for
     ascending ``xs`` including the boundary clamps."""
     k = xs.shape[0]
-    t1d = jnp.atleast_1d(t)
+    t1d = jnp.reshape(t, (-1,))  # any query shape; restored at the end
     ge = t1d[:, None] >= xs[None, :]
     idx = jnp.clip(jnp.sum(ge, axis=1) - 1, 0, k - 2)
     cols = jnp.arange(k)[None, :]

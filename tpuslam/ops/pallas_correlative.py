@@ -14,15 +14,18 @@ Mapper.cpp:309-523/819-856).  The XLA formulations all hit a wall on TPU:
 - FFT cross-correlation only wins at 15 m loop windows.
 
 This kernel keeps the WHOLE correlation grid resident in VMEM and walks
-the points with on-chip dynamic slices — no HBM latency per point.  Grid
-values are quantized multiples of 0.01 (the smear kernel, Mapper.h:
-1058-1090), so the grid is stored as exact small integers (x100, <= 100)
-in bf16 (integers <= 256 are exact in bf16) and accumulated in f32 via
-0/1-one-hot MXU matmuls: every patch sum is an exact integer < 2^24,
-bit-identical to the FFT/conv paths and within one f32 ulp of the patch
-path.  bf16 storage halves both the VMEM footprint (the reference's
-default 0.01 m sequential spec needs ~13.4 MB of the v5e's ~16 MB) and
-the per-point load bandwidth.
+the points with on-chip dynamic slices — no HBM latency per point.  Each
+point's patch is extracted from its tile-aligned containing window by
+two dynamic circular shifts (pltpu.roll) that move it to the window's
+top-left corner — pure VPU element movement (an earlier one-hot MXU
+matmul formulation measured ~25% slower end-to-end).  Grid values are
+quantized multiples of 0.01 (the smear kernel, Mapper.h:1058-1090), so
+the grid is stored as exact small integers (x100, <= 100) in bf16
+(integers <= 256 are exact in bf16) and accumulated in f32: every patch
+sum is an exact integer < 2^24, bit-identical to the FFT/conv paths and
+within one f32 ulp of the patch path.  bf16 storage halves both the
+VMEM footprint (the reference's default 0.01 m sequential spec needs
+~13.4 MB of the v5e's ~16 MB) and the per-point load bandwidth.
 
 Masking contract (matches the patch path): callers send dropped points
 (invalid beams, patches that leave the grid) to the zero landing strip at
@@ -67,7 +70,7 @@ def patch_sums_pallas(
     n_a, b = ay.shape
     # aligned containing window per point: Mosaic only allows dynamic VMEM
     # loads at tile-aligned offsets, so each point loads the aligned
-    # superset and extracts its s x s patch with two one-hot matmuls
+    # superset and extracts its s x s patch with two circular shifts
     rows, cols = _window(s)
     gr = _round_up(g + rows, _ROW_ALIGN)  # zero landing strip for masked pts
     gc = _round_up(g + cols, _COL_ALIGN)
