@@ -61,7 +61,10 @@ def test_outdoor_preset_matches_reference_yaml():
     assert c.loop_search_space_dimension == 15.0
     assert c.loop_match_minimum_response_coarse == 0.35
     assert c.loop_match_minimum_response_fine == 0.45
-    assert math.isclose(c.angle_variance_penalty, 0.1 * math.pi / 180.0)
+    # the node passes the RAW yaml value (karto_slam.cc:216-219) despite the
+    # yaml comment claiming a degree conversion; squared -> 0.01 rad^2
+    assert c.angle_variance_penalty == 0.1
+    assert math.isclose(c.angle_variance_penalty**2, 0.01)
 
 
 def test_defaults_match_reference():

@@ -122,6 +122,71 @@ def test_occupancy_grid_export():
     assert (img[my - 2 : my + 3, mx - 2 : mx + 3] == 100).any()
 
 
+def test_occupancy_export_clips_over_threshold_beams():
+    """Karto.h:5866-5888 (AddScan): a beam with range >= rangeThreshold is
+    NOT dropped — its endpoint is clipped to the threshold ray point and it
+    is raytraced free-only.  A corridor whose far wall sits beyond the
+    threshold must still be carved free up to the threshold, with no
+    occupied cell registered for those beams."""
+    wall = np.array([[[9.0, -4.0], [9.0, 4.0]]])  # wall at x=9, threshold 6
+    m = KartoMapper(CFG, max_scans=16)
+    for i in range(6):
+        p = np.array([0.25 * i, 0.0, 0.0])
+        r, amin, ainc = simulate_scan(wall, p, num_beams=180, max_range=30.0)
+        s = make_scan(r, angle_min=amin, angle_increment=ainc,
+                      range_min=0.1, range_max=30.0, num_beams=180)
+        m.process(s, p, time=float(i))
+    spec, img = m.occupancy_grid()
+    img = np.asarray(img)
+    # free space carved along +x up to the 6 m threshold from the last pose
+    for x in (2.0, 4.0, 6.5):  # world x; last pose at x=1.25, thr ends 7.25
+        mx = round((x - spec.origin_x) / spec.resolution)
+        my = round((0.0 - spec.origin_y) / spec.resolution)
+        patch = img[my - 2 : my + 3, mx - 2 : mx + 3]
+        assert (patch == 0).any(), (x, patch)
+    # no hit anywhere: every beam was over-threshold (wall at >= 7.75 m)
+    assert (img == 100).sum() == 0
+    # and nothing carved beyond the threshold of the farthest pose
+    mx = round((7.6 - spec.origin_x) / spec.resolution)
+    my = round((0.0 - spec.origin_y) / spec.resolution)
+    assert img[my, mx] == -1
+
+
+def test_occupancy_export_endpoint_pass_counts():
+    """Karto's TraceLine includes the endpoint cell (Karto.h:4711-4744), so
+    a valid endpoint accumulates pass+=2, hit+=1 per scan (RayTrace,
+    Karto.h:5911-5943): two overlapping scans are enough to mark a wall
+    occupied (pass=4 > min_pass_through=2, ratio 0.5 > 0.1), where an
+    endpoint-exclusive trace (pass=2) would leave it unknown."""
+    import jax.numpy as jnp
+
+    from tpuslam.core.grid import GridSpec
+    from tpuslam.ops.counts import accumulate_scan, karto_export, zero_counts
+
+    sp = GridSpec(1.0, 16, 16, 0.0, 0.0)
+    origin = jnp.array([1.0, 8.0])
+    endpoints = jnp.array([[9.0, 8.0]])
+    v = jnp.array([True])
+    c = zero_counts(sp)
+    for _ in range(2):
+        c = accumulate_scan(
+            sp, c, origin, endpoints, jnp.array([False]), v,
+            max_steps=32, trace_includes_endpoint=True,
+        )
+    assert int(c.visits[8, 9]) == 4  # (trace + endpoint) x 2 scans
+    assert int(c.hits[8, 9]) == 2
+    img = np.asarray(karto_export(c))
+    assert img[8, 9] == 100
+    # free-only beams add only the trace pass at the endpoint, no hit
+    c2 = zero_counts(sp)
+    c2 = accumulate_scan(
+        sp, c2, origin, endpoints, jnp.array([True]), v,
+        max_steps=32, trace_includes_endpoint=True,
+    )
+    assert int(c2.visits[8, 9]) == 1
+    assert int(c2.hits[8, 9]) == 0
+
+
 def test_multi_sensor_mapping():
     """Two lasers feeding one mapper: per-sensor windows + cross-sensor
     first-scan link (Mapper.cpp:923-953)."""

@@ -204,6 +204,10 @@ class KartoConfig:
     # CorrelativeSpec.response_method): "auto" | "patch" | "conv" | "fft"
     # | "pallas"
     response_method: str = "auto"
+    # response normalization (see CorrelativeSpec): True = reference-exact
+    # GetResponse denominator (every raw beam counts, Mapper.cpp:819-856);
+    # requires num_beams == the lidar's true beam count
+    count_invalid_in_denominator: bool = True
 
     # backend
     use_back_end: bool = True
@@ -239,7 +243,12 @@ def outdoor_karto_config() -> KartoConfig:
         loop_match_minimum_response_coarse=0.35,
         loop_match_minimum_response_fine=0.45,
         distance_variance_penalty=0.3,
-        angle_variance_penalty=0.1 * math.pi / 180.0,
+        # The YAML comment claims "in degrees (gets converted to radians)"
+        # but the node passes the RAW value straight to
+        # setParamAngleVariancePenalty (karto_slam.cc:216-219), which squares
+        # it -> effective variance 0.01 rad^2.  Converting here would make
+        # the angle penalty ~3300x stronger than the reference's.
+        angle_variance_penalty=0.1,
         fine_search_angle_offset=0.00349,
         coarse_search_angle_offset=0.349,
         coarse_angle_resolution=0.0349,

@@ -308,6 +308,7 @@ class KartoMapper:
             minimum_angle_penalty=cfg.minimum_angle_penalty,
             use_response_expansion=cfg.use_response_expansion,
             response_method=cfg.response_method,
+            count_invalid_in_denominator=cfg.count_invalid_in_denominator,
         )
         self.loop_spec = CorrelativeSpec(
             resolution=cfg.loop_search_space_resolution,
@@ -323,6 +324,7 @@ class KartoMapper:
             minimum_angle_penalty=cfg.minimum_angle_penalty,
             use_response_expansion=cfg.use_response_expansion,
             response_method=cfg.response_method,
+            count_invalid_in_denominator=cfg.count_invalid_in_denominator,
         )
         self._sharded_loop_match = None
         if loop_mesh is not None:
@@ -1123,7 +1125,18 @@ class KartoMapper:
     # --------------------------------------------------------------- output
     def occupancy_grid(self, resolution: float | None = None):
         """OccupancyGrid::CreateFromScans (Karto.h:5659-5990) as the counts
-        kernel + karto thresholds."""
+        kernel + karto thresholds.
+
+        Over-threshold beams (range >= use_scan_range) are NOT dropped:
+        ``AddScan`` (Karto.h:5852-5899) iterates the UNFILTERED point
+        readings, clips each such beam's endpoint to the threshold ray point
+        (``ratio = rangeThreshold / rangeReading``) and raytraces it
+        free-only (``isEndPointValid = range < threshold - KT_TOLERANCE``) —
+        dropping them would under-carve the exported map everywhere the
+        world is open beyond the threshold.  The device store keeps those
+        beams' true endpoints (staging only masks ``_valid``), so the raw
+        range is recovered here as ``|pts|`` (invalid beams were zeroed at
+        make_scan and stay excluded)."""
         from tpuslam.core.grid import GridSpec
         from tpuslam.ops.counts import accumulate_scan, karto_export, zero_counts
 
@@ -1166,28 +1179,37 @@ class KartoMapper:
         valid_n = jnp.concatenate(
             [self._valid[:n], jnp.zeros((pad,) + self._valid.shape[1:], bool)]
         )
-        wpts = se2.transform_points(jposes, pts_n)
         max_steps = int(cfg.use_scan_range / res) + 2
 
-        @partial(jax.jit, static_argnames=("sp", "steps"))
-        def fold(sp, origins, endpoints, valid, steps):
+        @partial(jax.jit, static_argnames=("sp", "steps", "thr"))
+        def fold(sp, jposes, pts, valid, steps, thr):
+            # Karto.h:5866-5888: recover over-threshold beams, clip their
+            # endpoints to the threshold ray point, trace them free-only.
+            r = jnp.linalg.norm(pts, axis=-1)
+            over = r > thr
+            export_valid = valid | over
+            scale = jnp.where(over, thr / jnp.maximum(r, 1e-9), 1.0)
+            wpts = se2.transform_points(jposes, pts * scale[..., None])
+            free_only = r >= (thr - 1e-6)
+            origins = sp.world_to_map(jposes[:, :2])
+            endpoints = sp.world_to_map(wpts)
+
             def body(c, inp):
-                o, e, v = inp
+                o, e, f, v = inp
                 return accumulate_scan(
-                    sp, c, o, e, jnp.zeros_like(v), v, max_steps=steps
+                    sp, c, o, e, f, v,
+                    max_steps=steps, trace_includes_endpoint=True,
                 ), None
 
             c, _ = jax.lax.scan(
-                body, zero_counts(sp), (origins, endpoints, valid)
+                body,
+                zero_counts(sp),
+                (origins, endpoints, free_only, export_valid),
             )
             return c
 
         counts = fold(
-            spec,
-            spec.world_to_map(jposes[:, :2]),
-            spec.world_to_map(wpts),
-            valid_n,
-            max_steps,
+            spec, jposes, pts_n, valid_n, max_steps, cfg.use_scan_range
         )
         return spec, karto_export(
             counts,

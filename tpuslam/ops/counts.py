@@ -45,14 +45,23 @@ def accumulate_scan(
     valid: Array,
     *,
     max_steps: int,
+    trace_includes_endpoint: bool = False,
 ) -> CountGrid:
     """Scatter-add one scan's rays into the counters.
 
     origin_m: [2]; endpoints_m: [B, 2] (continuous map coords);
     free_only: [B] bool — beam clamped to max_use_range: trace free cells but
     record no hit (gmapping.cc:190-218 ``d == max_use_range_`` rule; karto
-    clips beams beyond rangeThreshold the same way, Karto.h:5852-5925).
+    clips beams beyond rangeThreshold the same way, Karto.h:5876-5888).
     valid: [B] bool.
+
+    trace_includes_endpoint: karto's ``Grid::TraceLine`` visits BOTH
+    endpoints inclusive (Karto.h:4711-4744 loops ``x0..x1``), so every
+    in-grid beam — free-only or not — adds one pass at its endpoint cell,
+    and a valid endpoint then adds one MORE pass plus a hit
+    (``RayTrace``, Karto.h:5911-5943): endpoint totals are pass+=2, hit+=1.
+    GMapping excludes the endpoint from the trace (gmapping.cc:206-217
+    iterates ``line.num_points - 1``), the default here.
     """
     h, w = spec.shape
     ix, iy, m = ray_cells(
@@ -63,7 +72,8 @@ def accumulate_scan(
 
     ex = jnp.floor(endpoints_m[..., 0] + 0.5).astype(jnp.int32)
     ey = jnp.floor(endpoints_m[..., 1] + 0.5).astype(jnp.int32)
-    hit_ok = valid & ~free_only & (ex >= 0) & (ex < w) & (ey >= 0) & (ey < h)
+    end_in = (ex >= 0) & (ex < w) & (ey >= 0) & (ey < h)
+    hit_ok = valid & ~free_only & end_in
     flat_hit = jnp.where(hit_ok, ey * w + ex, h * w)
 
     one = jnp.int32(1)
@@ -74,6 +84,9 @@ def accumulate_scan(
         .at[flat_hit.reshape(-1)]
         .add(one, mode="drop")
     )
+    if trace_includes_endpoint:
+        flat_end = jnp.where(valid & end_in, ey * w + ex, h * w)
+        visits = visits.at[flat_end.reshape(-1)].add(one, mode="drop")
     hits = counts.hits.reshape(-1).at[flat_hit.reshape(-1)].add(one, mode="drop")
     return CountGrid(hits=hits.reshape(h, w), visits=visits.reshape(h, w))
 
