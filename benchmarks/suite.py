@@ -31,12 +31,17 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
+_LAST_WINDOWS: list[float] = []
+
+
 def timed(fn, *args, iters=10):
     """Per-iteration host fetch of one output leaf: conservative (includes
     dispatch + transfer) but honest — ``block_until_ready`` does not reliably
     await execution on tunneled PJRT backends.  Best of 3 windows: the
     tunnel shows transient multi-x stalls; the max-throughput window is
-    still an honest fetched-every-iteration measurement."""
+    still an honest fetched-every-iteration measurement.  All three window
+    times land in the artifact (emit's ``windows_sec``) so the spread
+    behind the max-filtered headline is reproducible."""
     import jax
 
     def settle(out):
@@ -45,24 +50,34 @@ def timed(fn, *args, iters=10):
 
     settle(fn(*args))
     per = max(1, iters // 3)
-    best = float("inf")
+    windows = []
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(per):
             settle(fn(*args))
-        best = min(best, (time.perf_counter() - t0) / per)
-    return best
+        windows.append((time.perf_counter() - t0) / per)
+    global _LAST_WINDOWS
+    _LAST_WINDOWS = windows
+    return min(windows)
 
 
 _OUT_PATH: pathlib.Path | None = None
 
 
-def emit(metric, value, unit, baseline=None):
+def emit(metric, value, unit, baseline=None, windows=None):
+    """windows: per-repeat raw measurements (seconds or the metric's own
+    unit, as documented per metric) recorded alongside the max-filtered
+    headline so run-to-run variance is visible in the artifact."""
+    global _LAST_WINDOWS
+    if windows is None and _LAST_WINDOWS:
+        windows = list(_LAST_WINDOWS)
+    _LAST_WINDOWS = []  # consume: metrics not using timed() stay clean
     line = json.dumps({
         "metric": metric,
         "value": round(float(value), 1),
         "unit": unit,
         **({"vs_baseline": round(float(value) / baseline, 3)} if baseline else {}),
+        **({"windows": [round(float(w), 6) for w in windows]} if windows else {}),
     })
     print(line)
     sys.stdout.flush()
@@ -253,14 +268,89 @@ def bench_karto_pipeline(n_scans=256):
 
     scans = [scan_at(0.002 * i) for i in range(n_scans + 64)]
     odoms = [np.array([0.002 * i, 0.0, 0.0]) for i in range(n_scans + 64)]
-    best = 0.0
+    runs = []
     for _ in range(3):
         mapper = KartoMapper(cfg, max_scans=2 * n_scans + 128)
         mapper.process_batch(scans[:64], odoms[:64], batch_size=64)  # warm
         t0 = time.perf_counter()
         mapper.process_batch(scans[64:], odoms[64:], batch_size=64)
-        best = max(best, n_scans / (time.perf_counter() - t0))
-    emit("karto_scans_per_sec", best, "scans/s")
+        runs.append(n_scans / (time.perf_counter() - t0))
+    emit("karto_scans_per_sec", max(runs), "scans/s", windows=runs)
+
+
+def bench_karto_realistic(n_scans=256):
+    """Honest end-to-end karto number: a REALISTIC circuit — rotation at
+    every step, odometry noise, loop closing ON — in batch mode.  The
+    straight-line `karto_scans_per_sec` fixture above is a device-
+    throughput number (2 mm steps, zero rotation, no gating, no loops);
+    this one drives the full engine the way a bag replay would: the
+    trajectory circles a boxes world (~40 scans/lap), loop closures fire
+    and pay for candidate search + loop matching + SPA corrections.
+    Single timed run (a closure changes mapper state, so repeat runs of
+    one mapper are not comparable; variance shows in windows as per-lap
+    splits)."""
+    import math
+
+    from tpuslam.core.config import KartoConfig
+    from tpuslam.core.scan import make_scan
+    from tpuslam.io.simulate import simulate_scan, world_with_boxes
+    from tpuslam.models.karto import KartoMapper
+
+    segs = world_with_boxes()
+    cfg = KartoConfig(
+        num_beams=180, use_scan_range=10.0,
+        minimum_travel_distance=0.2, minimum_travel_heading=0.174,
+        minimum_time_interval=3600.0,
+        scan_buffer_size=20, scan_buffer_maximum_scan_distance=10.0,
+        correlation_search_space_dimension=0.32,
+        correlation_search_space_resolution=0.02,
+        correlation_search_space_smear_deviation=0.04,
+        loop_search_space_dimension=4.0, loop_search_space_resolution=0.1,
+        loop_search_space_smear_deviation=0.1,
+        loop_search_maximum_distance=1.5, loop_match_minimum_chain_size=4,
+        loop_match_maximum_variance_coarse=0.4,
+        loop_match_minimum_response_coarse=0.5,
+        loop_match_minimum_response_fine=0.5,
+        link_match_minimum_response_fine=0.6,
+        link_scan_maximum_distance=1.5,
+        do_loop_closing=True,
+    )
+    rng = np.random.default_rng(7)
+    radius, dth = 1.6, 2 * math.pi / 40
+    true = np.array([radius, 0.0, math.pi / 2])
+    odom = true.copy()
+    scans, odoms = [], []
+    for _ in range(n_scans):
+        r, amin, ainc = simulate_scan(segs, true, num_beams=180,
+                                      max_range=30.0)
+        scans.append(make_scan(r, angle_min=amin, angle_increment=ainc,
+                               range_min=0.1, range_max=30.0, num_beams=180))
+        odoms.append(odom.copy())
+        step = np.array([radius * dth, 0.0, dth])
+        c, s = math.cos(true[2]), math.sin(true[2])
+        true = np.array([true[0] + c * step[0] - s * step[1],
+                         true[1] + s * step[0] + c * step[1],
+                         math.atan2(math.sin(true[2] + step[2]),
+                                    math.cos(true[2] + step[2]))])
+        n = step + rng.normal(0, [0.01, 0.01, 0.005])
+        c, s = math.cos(odom[2]), math.sin(odom[2])
+        odom = np.array([odom[0] + c * n[0] - s * n[1],
+                         odom[1] + s * n[0] + c * n[1],
+                         math.atan2(math.sin(odom[2] + n[2]),
+                                    math.cos(odom[2] + n[2]))])
+
+    mapper = KartoMapper(cfg, max_scans=n_scans + 64)
+    warm = 16
+    mapper.process_batch(scans[:warm], odoms[:warm], batch_size=16)
+    t0 = time.perf_counter()
+    mapper.process_batch(scans[warm:], odoms[warm:], batch_size=16)
+    dt = time.perf_counter() - t0
+    if mapper.stats["loop_closures"] == 0:
+        print(json.dumps({"warning": "karto_realistic: no loop closures "
+                          "fired — fixture degenerated, number not "
+                          "comparable"}))
+    emit("karto_realistic_scans_per_sec", (n_scans - warm) / dt, "scans/s",
+         windows=[dt, float(mapper.stats["loop_closures"])])
 
 
 def bench_grid(batch, iters):
@@ -380,6 +470,7 @@ def main():
     bench_correlative(iters)
     bench_loop_match(iters)
     bench_karto_pipeline(64 if args.quick else 256)
+    bench_karto_realistic(96 if args.quick else 256)
     bench_grid(64 if args.quick else 256, iters)
     bench_features(batch, iters)
     bench_undistort(batch, iters)

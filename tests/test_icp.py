@@ -175,3 +175,85 @@ def test_plicp_line_uses_closer_neighbor():
         oh1, oh2, _, ok = _correspondences(cur, jnp.ones(1, bool), ref, rv)
         assert int(jnp.argmax(oh2[0])) == want, (x, jnp.argmax(oh2[0]))
         assert bool(ok[0])
+
+
+def test_plicp_covariance_matches_finite_difference():
+    """do_compute_covariance: cov = sigma^2 * inv(J^T W J) of the final
+    point-to-line normal system (CSM compute_covariance analog,
+    plicp_odometry.cc:373-387).  Validated against a finite-difference
+    Hessian of the fixed-correspondence energy at the converged pose."""
+    import dataclasses
+
+    cfg = dataclasses.replace(PL_CFG, do_compute_covariance=1, sigma=0.01)
+    pa = np.array([0.0, 0.0, 0.0])
+    pb = np.array([0.1, -0.06, 0.08])
+    pts_a, va = scan_points(pa, noise=0.0005, seed=3)
+    pts_b, vb = scan_points(pb, noise=0.0005, seed=4)
+    res = plicp(cfg, pts_b, vb, pts_a, va)
+    assert bool(res.valid)
+    cov = np.asarray(res.covariance, np.float64)
+    assert cov.shape == (3, 3)
+    assert np.allclose(cov, cov.T, atol=1e-12)
+    assert np.all(np.linalg.eigvalsh(cov) > 0)
+
+    # reconstruct the frozen correspondence set at the converged pose and
+    # finite-difference the energy E(p) = 0.5 sum w r(p)^2
+    pose = np.asarray(res.pose, np.float64)
+    src = np.asarray(pts_b, np.float64)
+    sv = np.asarray(vb)
+    ref = np.asarray(pts_a, np.float64)
+    rv = np.asarray(va)
+
+    def correspond(p):
+        c, s = np.cos(p[2]), np.sin(p[2])
+        cur = src @ np.array([[c, s], [-s, c]]) + p[:2]
+        d2 = ((cur[:, None] - ref[None]) ** 2).sum(-1)
+        d2 = np.where(rv[None, :] & sv[:, None], d2, 1e9)
+        j1 = np.argmin(d2, axis=1)
+        d1 = d2[np.arange(len(src)), j1]
+        n_ref = len(ref)
+        d_r = np.where(j1 == n_ref - 1, 1e9,
+                       d2[np.arange(len(src)), (j1 + 1) % n_ref])
+        d_l = np.where(j1 == 0, 1e9, d2[np.arange(len(src)), j1 - 1])
+        j2 = np.where(d_r < d_l, j1 + 1, j1 - 1)
+        ok = (d1 < 1e9) & (np.minimum(d_r, d_l) < 1e9) & (
+            d1 < cfg.max_correspondence_dist**2
+        )
+        # maxPerc trim on the point-to-LINE distance (the rule
+        # _covariance_at applies)
+        j2c = np.clip(j2, 0, n_ref - 1)
+        t = ref[j2c] - ref[j1]
+        nn = np.stack([-t[:, 1], t[:, 0]], -1)
+        nn /= np.maximum(np.linalg.norm(nn, axis=-1, keepdims=True), 1e-9)
+        dist = np.abs(((cur - ref[j1]) * nn).sum(-1))
+        sd = np.sort(np.where(ok, dist, 1e9))
+        k = min(int(ok.sum() * cfg.outliers_maxPerc), len(src) - 1)
+        ok = ok & (dist <= max(sd[k], 1e-9))
+        return j1, j2c, ok & sv
+
+    j1, j2, w = correspond(pose)
+    q1, q2 = ref[j1], ref[j2]
+    t = q2 - q1
+    nrm = np.stack([-t[:, 1], t[:, 0]], -1)
+    nrm /= np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-9)
+
+    def residuals(p):
+        c, s = np.cos(p[2]), np.sin(p[2])
+        cur = src @ np.array([[c, s], [-s, c]]) + p[:2]
+        return ((cur - q1) * nrm).sum(-1)
+
+    # finite-difference Jacobian of the frozen-correspondence residuals →
+    # the Gauss-Newton Hessian J^T W J (the estimator the covariance
+    # inverts; the full energy Hessian additionally carries the
+    # residual-curvature term GN legitimately drops)
+    eps = 1e-6
+    fd_j = np.zeros((len(src), 3))
+    for i in range(3):
+        pp = pose.copy(); pp[i] += eps
+        pm = pose.copy(); pm[i] -= eps
+        fd_j[:, i] = (residuals(pp) - residuals(pm)) / (2 * eps)
+    fd_h = fd_j.T @ (w[:, None] * fd_j)
+    want_cov = cfg.sigma**2 * np.linalg.inv(fd_h)
+    assert np.allclose(cov, want_cov, rtol=0.1, atol=2e-9), (
+        cov, want_cov,
+    )

@@ -1,0 +1,327 @@
+"""Differential tests: tpuslam vs the reference-exact float64 oracles.
+
+Every other accuracy test in the repo compares against synthetic ground
+truth; these compare against *what the C++ reference computes* — the
+oracles in ``tpuslam/oracle/`` port the reference's matcher, graph, and
+SPA2d semantics (with every quantization and tie rule) to NumPy float64,
+and tpuslam must agree with them on identical scan streams, including
+lossy/NaN scans.  If a documented deviation silently grows, these fail.
+"""
+
+import dataclasses
+import math
+
+import numpy as np
+import pytest
+
+from tpuslam.core.config import KartoConfig
+from tpuslam.core.scan import make_scan, scan_to_points
+from tpuslam.core import se2
+from tpuslam.io.simulate import rect_room, simulate_scan, world_with_boxes
+from tpuslam.match.correlative import CorrelativeSpec, match_scan
+from tpuslam.models.karto import KartoMapper, _np_compose
+from tpuslam.oracle import OracleMapper, OracleScan, OracleScanMatcher, OracleSpa2d
+
+NB = 120
+THR = 6.0
+# Non-grid-aligned world (walls at +-4.0307/+-3.0701 m): exact cell parity
+# between the f32 matcher and the f64 oracle holds for GENERIC geometry;
+# points landing exactly on half-cell boundaries (round-number walls +
+# round-number search centers) round differently in f32 vs f64 — real
+# data never sits on exact boundaries, so the fixtures must not either.
+ROOM = rect_room(8.0614, 6.1402)  # max corner distance ~5.07 m < THR
+
+CFG = KartoConfig(
+    num_beams=NB,
+    use_scan_range=THR,
+    minimum_travel_distance=0.2,
+    minimum_travel_heading=0.174,
+    minimum_time_interval=3600.0,
+    scan_buffer_size=20,
+    scan_buffer_maximum_scan_distance=10.0,
+    correlation_search_space_dimension=0.32,
+    correlation_search_space_resolution=0.02,
+    correlation_search_space_smear_deviation=0.04,
+    loop_search_space_dimension=4.0,
+    loop_search_space_resolution=0.1,
+    loop_search_space_smear_deviation=0.1,
+    loop_search_maximum_distance=1.5,
+    loop_match_minimum_chain_size=4,
+    loop_match_maximum_variance_coarse=0.4,
+    loop_match_minimum_response_coarse=0.5,
+    loop_match_minimum_response_fine=0.5,
+    link_match_minimum_response_fine=0.6,
+    link_scan_maximum_distance=1.5,
+)
+
+
+def ranges_at(pose, world=ROOM, nb=NB):
+    r, amin, ainc = simulate_scan(world, pose, num_beams=nb, max_range=30.0)
+    return r, amin, ainc
+
+
+def tpuslam_scan(ranges, amin, ainc, nb=NB):
+    return make_scan(ranges, angle_min=amin, angle_increment=ainc,
+                     range_min=0.1, range_max=30.0, num_beams=nb)
+
+
+def spec_from(cfg: KartoConfig) -> CorrelativeSpec:
+    return CorrelativeSpec(
+        resolution=cfg.correlation_search_space_resolution,
+        search_dim=cfg.correlation_search_space_dimension,
+        smear_deviation=cfg.correlation_search_space_smear_deviation,
+        range_threshold=cfg.use_scan_range,
+        coarse_angle_offset=cfg.coarse_search_angle_offset,
+        coarse_angle_resolution=cfg.coarse_angle_resolution,
+        fine_angle_offset=cfg.fine_search_angle_offset,
+        distance_variance_penalty=cfg.distance_variance_penalty,
+        angle_variance_penalty=cfg.angle_variance_penalty,
+        minimum_distance_penalty=cfg.minimum_distance_penalty,
+        minimum_angle_penalty=cfg.minimum_angle_penalty,
+        use_response_expansion=cfg.use_response_expansion,
+        count_invalid_in_denominator=True,
+    )
+
+
+def run_both_matchers(query_ranges, query_meta, center, base_list,
+                      *, penalize=True, refine=True, cfg=CFG):
+    """Run the oracle and the tpuslam matcher on identical inputs.
+
+    base_list: [(ranges, amin, ainc, pose)] of base scans.
+    Returns ((resp_o, pose_o, cov_o), (resp_t, pose_t, cov_t))."""
+    amin, ainc = query_meta
+    # ---- oracle
+    om = OracleScanMatcher(
+        cfg.correlation_search_space_dimension,
+        cfg.correlation_search_space_resolution,
+        cfg.correlation_search_space_smear_deviation,
+        cfg.use_scan_range,
+        cfg,
+    )
+    q = OracleScan(query_ranges, amin, ainc, range_threshold=THR,
+                   minimum_range=0.1, odom_pose=center)
+    bases = []
+    for br, bam, bai, bp in base_list:
+        b = OracleScan(br, bam, bai, range_threshold=THR,
+                       minimum_range=0.1, odom_pose=bp)
+        bases.append(b)
+    resp_o, pose_o, cov_o = om.match_scan(
+        q, bases, penalize=penalize, refine=refine
+    )
+
+    # ---- tpuslam (staged exactly like KartoMapper._fused_seq_step)
+    spec = spec_from(cfg)
+    qs = tpuslam_scan(query_ranges, amin, ainc)
+    qpts, qvalid = scan_to_points(qs)
+    qvalid = qvalid & (qs.ranges <= THR) & (qs.ranges > 0.0)
+    wpts, wvalid = [], []
+    for br, bam, bai, bp in base_list:
+        bs = tpuslam_scan(br, bam, bai)
+        bpts, bv = scan_to_points(bs)
+        bv = bv & (bs.ranges <= THR) & (bs.ranges > 0.0)
+        wpts.append(se2.transform_points(
+            np.asarray(bp, np.float32), bpts))
+        wvalid.append(bv)
+    res = match_scan(
+        spec,
+        np.asarray(center, np.float32),
+        qpts, qvalid,
+        np.stack(wpts), np.stack(wvalid),
+        penalize=penalize, refine=refine,
+    )
+    return (
+        (resp_o, pose_o, cov_o),
+        (float(res.response), np.asarray(res.pose, np.float64),
+         np.asarray(res.covariance, np.float64)),
+    )
+
+
+def test_matcher_parity_clean_scans():
+    """Pose-for-pose agreement on clean streams (all beams within the
+    threshold): responses match to f32 precision and the tie-averaged
+    pose matches to sub-millimeter."""
+    rng = np.random.default_rng(3)
+    base_poses = [
+        np.array([0.0, 0.0, 0.0]),
+        np.array([0.2, 0.05, 0.05]),
+        np.array([0.45, 0.1, 0.1]),
+    ]
+    bases = []
+    for bp in base_poses:
+        r, amin, ainc = ranges_at(bp)
+        bases.append((r, amin, ainc, bp))
+    true = np.array([0.62, 0.12, 0.12])
+    qr, amin, ainc = ranges_at(true)
+    for trial in range(3):
+        center = true + rng.normal(0, [0.04, 0.04, 0.02])
+        (ro, po, co), (rt, pt, ct) = run_both_matchers(
+            qr, (amin, ainc), center, bases
+        )
+        assert rt == pytest.approx(ro, abs=2e-5), (trial, ro, rt)
+        assert np.allclose(pt[:2], po[:2], atol=1e-4), (trial, po, pt)
+        assert abs(se2.wrap_angle(pt[2] - po[2])) < 1e-4, (trial, po, pt)
+        # covariances agree (looser: second moments amplify tie diffs)
+        assert np.allclose(ct[:2, :2], co[:2, :2], rtol=2e-3, atol=1e-6)
+        assert ct[2, 2] == pytest.approx(co[2, 2], rel=2e-3, abs=1e-8)
+
+
+def test_matcher_parity_lossy_scans():
+    """NaN/inf beams: the reference keeps them in the response denominator
+    (unfiltered readings, Karto.h:5336-5355) — with the (default)
+    count_invalid_in_denominator the tpuslam response must track exactly."""
+    rng = np.random.default_rng(11)
+    base_poses = [np.zeros(3), np.array([0.25, 0.0, 0.04])]
+    bases = []
+    for bp in base_poses:
+        r, amin, ainc = ranges_at(bp)
+        r = r.copy()
+        r[rng.random(NB) < 0.25] = np.nan  # 25% dropouts
+        bases.append((r, amin, ainc, bp))
+    true = np.array([0.45, 0.03, 0.06])
+    qr, amin, ainc = ranges_at(true)
+    qr = qr.copy()
+    qr[rng.random(NB) < 0.25] = np.inf
+    center = true + rng.normal(0, [0.03, 0.03, 0.015])
+    (ro, po, _), (rt, pt, _) = run_both_matchers(qr, (amin, ainc), center, bases)
+    assert ro < 1.0  # dropouts must depress the response
+    assert rt == pytest.approx(ro, abs=2e-5)
+    assert np.allclose(pt[:2], po[:2], atol=1e-4)
+    assert abs(se2.wrap_angle(pt[2] - po[2])) < 1e-4
+
+
+def test_spa2d_oracle_matches_tpu_solver():
+    """graph/solver.py (matrix-free LM + PCG, f32) converges to the same
+    optimum as the reference-exact doSPA (dense Cholesky LM, f64)."""
+    from tpuslam.graph.backends import graph_from_edges, make_solver
+
+    rng = np.random.default_rng(5)
+    n = 24
+    true = np.zeros((n, 3))
+    for i in range(1, n):
+        dth = 2 * math.pi / n
+        true[i] = _np_compose(true[i - 1], [0.5, 0.0, dth])
+    noisy = true + rng.normal(0, [0.05, 0.05, 0.02], true.shape)
+    noisy[0] = true[0]
+
+    def rel(a, b):
+        c, s = math.cos(a[2]), math.sin(a[2])
+        d = b[:2] - a[:2]
+        return np.array([c * d[0] + s * d[1], -s * d[0] + c * d[1],
+                         math.atan2(math.sin(b[2] - a[2]),
+                                    math.cos(b[2] - a[2]))])
+
+    edges = []
+    prec_odo = np.diag([50.0, 50.0, 100.0])
+    for i in range(n - 1):
+        edges.append((i, i + 1, rel(true[i], true[i + 1]), prec_odo))
+    # loop edges
+    for i, j in [(0, n - 1), (2, n - 3)]:
+        edges.append((i, j, rel(true[i], true[j]),
+                      np.diag([200.0, 200.0, 400.0])))
+
+    spa = OracleSpa2d()
+    for i in range(n):
+        spa.add_node(noisy[i], i)
+    for i, j, mean, prec in edges:
+        spa.add_constraint(i, j, mean, prec)
+    iters = spa.do_spa(40)
+    assert iters > 0
+    oracle_poses = np.stack([spa.get_poses()[i] for i in range(n)])
+
+    g = graph_from_edges(
+        noisy, [(i, j, m, p) for i, j, m, p in edges]
+    )
+    poses, stats = make_solver("spa_solver").compute(g)
+    poses = np.asarray(poses[:n], np.float64)
+    assert stats.final_cost < stats.initial_cost
+    err = np.abs(poses - oracle_poses)
+    err[:, 2] = np.abs(
+        np.arctan2(np.sin(poses[:, 2] - oracle_poses[:, 2]),
+                   np.cos(poses[:, 2] - oracle_poses[:, 2]))
+    )
+    assert err[:, :2].max() < 5e-4, err[:, :2].max()
+    assert err[:, 2].max() < 5e-4, err[:, 2].max()
+
+
+def test_pipeline_parity_sequential():
+    """KartoMapper vs OracleMapper on an identical noisy odometry stream:
+    per-scan processed flags and corrected poses must agree."""
+    rng = np.random.default_rng(17)
+    m = KartoMapper(CFG, max_scans=32)
+    om = OracleMapper(CFG)
+    true = np.zeros(3)
+    odom = np.zeros(3)
+    max_dp = 0.0
+    max_dth = 0.0
+    for i in range(8):
+        r, amin, ainc = ranges_at(true)
+        res = m.process(tpuslam_scan(r, amin, ainc), odom, time=0.0)
+        o = OracleScan(r, amin, ainc, range_threshold=THR,
+                       minimum_range=0.1, odom_pose=odom)
+        processed_o = om.process(o)
+        assert res.processed == processed_o, i
+        if res.processed:
+            dp = np.hypot(*(res.pose[:2] - o.corrected_pose[:2]))
+            dth = abs(se2.wrap_angle(res.pose[2] - o.corrected_pose[2]))
+            max_dp = max(max_dp, dp)
+            max_dth = max(max_dth, dth)
+        step = np.array([0.25, 0.0, 0.12])
+        true = _np_compose(true, step)
+        odom = _np_compose(odom, step + rng.normal(0, [0.015, 0.015, 0.008]))
+    # agreement within the search quantization: a response tie that falls
+    # within float rounding of the best can resolve one lattice step apart
+    # between the f32 matcher and the f64 oracle — half a fine cell in
+    # position, ~one fine angle step (0.00349 rad) in heading
+    assert max_dp < 0.5 * CFG.correlation_search_space_resolution, max_dp
+    assert max_dth < 1.5 * CFG.fine_search_angle_offset, max_dth
+
+
+def test_pipeline_parity_loop_closure():
+    """Loop accept/reject agreement on a closed circle, and post-closure
+    pose agreement (solver writeback included)."""
+    rng = np.random.default_rng(23)
+    # the test_karto loop geometry (radius 1.6, ~1.1 turns) with a range
+    # threshold that covers every beam (room corners at <= ~9.4 m from the
+    # trajectory): clean streams are where exact parity is guaranteed —
+    # over-threshold beams are a documented deviation surface (the
+    # reference stamps their raw endpoints; tpuslam masks them)
+    world = world_with_boxes()
+    cfg = dataclasses.replace(CFG, use_scan_range=10.0)
+    m = KartoMapper(cfg, max_scans=64)
+    om = OracleMapper(cfg)
+    radius = 1.6
+    true = np.array([radius, 0.0, math.pi / 2])
+    odom = true.copy()
+    closed_t = closed_o = False
+    for i in range(46):
+        r, amin, ainc = simulate_scan(
+            world, true, num_beams=NB, max_range=30.0
+        )
+        res = m.process(
+            make_scan(r, angle_min=amin, angle_increment=ainc,
+                      range_min=0.1, range_max=30.0, num_beams=NB),
+            odom, time=0.0,
+        )
+        o = OracleScan(r, amin, ainc, range_threshold=10.0,
+                       minimum_range=0.1, odom_pose=odom)
+        processed_o = om.process(o)
+        assert res.processed == processed_o, i
+        closed_t |= res.loop_closed
+        closed_o |= om.loop_closures > 0
+        dth = 2 * math.pi / 40
+        step = np.array([radius * dth, 0.0, dth])
+        true = _np_compose(true, step)
+        odom = _np_compose(odom, step + rng.normal(0, [0.01, 0.01, 0.005]))
+    assert closed_o, "oracle never closed the loop — fixture too easy/hard"
+    assert closed_t == closed_o
+    # corrected trajectories agree after optimization
+    n = len(m.records)
+    assert n == len(om.scans)
+    tp = m.poses[:n]
+    op = np.stack([s.corrected_pose for s in om.scans])
+    dp = np.hypot(*(tp[:, :2] - op[:, :2]).T)
+    # worst case bounded by the matcher quantization (a borderline tie can
+    # put one scan's match a single fine cell = 0.02 m apart, and the
+    # solver spreads it); the bulk of the trajectory must agree to mm
+    assert dp.max() < 1.5 * CFG.correlation_search_space_resolution, dp.max()
+    assert np.median(dp) < 5e-3, np.median(dp)

@@ -1,0 +1,319 @@
+"""io/rosbag.py against a ros_comm-layout bag it did NOT write.
+
+The round-trip tests in test_io.py share the repo's own writer, so reader
+and writer could share a misunderstanding of the format.  This module
+carries an INDEPENDENT fixture generator that reproduces the layout
+``rosbag record`` (ros_comm tools/rosbag/src/rosbag/bag.py) actually
+emits — all the structure the repo's minimal writer never produces:
+
+- the bag header record padded with ASCII spaces to 4096 bytes total,
+- connection records INSIDE each chunk and AGAIN in the trailer,
+- connection payloads with real message_definition text, md5sum,
+  callerid and latching fields,
+- index-data v1.2 records after every chunk (one per connection),
+- chunk-info v1.0 records in the trailer,
+- multiple chunks, multiple connections, bz2-compressed chunks,
+- message records interleaved across connections within a chunk.
+
+lz4 chunk compression is exercised only when the optional ``lz4`` codec
+is importable (it is not vendored in this environment); bz2 covers the
+compressed-chunk code path either way.
+
+Everything here is written from the rosbag 2.0 format specification
+independently of tpuslam.io.rosbag's helpers.
+"""
+
+import bz2
+import math
+import struct
+
+import numpy as np
+import pytest
+
+from tpuslam.io.rosbag import bag_to_scanlog, read_bag
+
+# --------------------------------------------------------------------------
+# independent ros_comm-style writer (spec: wiki.ros.org/Bags/Format/2.0)
+
+
+def _hdr_field(name: bytes, value: bytes) -> bytes:
+    pair = name + b"=" + value
+    return struct.pack("<L", len(pair)) + pair
+
+
+def _write_record(out: bytearray, fields: list[tuple[bytes, bytes]],
+                  payload: bytes) -> int:
+    """Append one record; returns its start offset."""
+    pos = len(out)
+    header = b"".join(_hdr_field(n, v) for n, v in fields)
+    out += struct.pack("<L", len(header))
+    out += header
+    out += struct.pack("<L", len(payload))
+    out += payload
+    return pos
+
+
+def _ros_time(t: float) -> bytes:
+    secs = int(t)
+    return struct.pack("<LL", secs, int(round((t - secs) * 1e9)))
+
+
+_LASER_MD5 = b"90c7ef2dc6895d81024acba2ac42f369"
+_LASER_DEF = (
+    b"# Single scan from a planar laser range-finder\n"
+    b"Header header\nfloat32 angle_min\nfloat32 angle_max\n"
+    b"float32 angle_increment\nfloat32 time_increment\nfloat32 scan_time\n"
+    b"float32 range_min\nfloat32 range_max\nfloat32[] ranges\n"
+    b"float32[] intensities\n"
+)
+_ODOM_MD5 = b"cd5e73d190d741a2f92e81eda573aca7"
+_IMU_MD5 = b"6a62c6daae103f4ff57a132d6f95cec2"
+
+
+def _conn_record(out, conn_id: int, topic: str, mtype: str, md5: bytes,
+                 definition: bytes):
+    payload = (
+        _hdr_field(b"topic", topic.encode())
+        + _hdr_field(b"type", mtype.encode())
+        + _hdr_field(b"md5sum", md5)
+        + _hdr_field(b"message_definition", definition)
+        + _hdr_field(b"callerid", b"/record_1234")
+        + _hdr_field(b"latching", b"0")
+    )
+    _write_record(
+        out,
+        [(b"op", b"\x07"), (b"topic", topic.encode()),
+         (b"conn", struct.pack("<L", conn_id))],
+        payload,
+    )
+
+
+def write_roscomm_style_bag(path, messages, compression="none",
+                            msgs_per_chunk=4):
+    """messages: list of (conn_id, topic, mtype, md5, definition, t, body).
+
+    Emits: version line, padded bag header, N chunks (connection records
+    on first use + interleaved message records), index-data records after
+    each chunk, trailer connections, chunk-info records — the full
+    ros_comm layout."""
+    out = bytearray()
+    out += b"#ROSBAG V2.0\n"
+
+    conns = {}
+    for conn_id, topic, mtype, md5, definition, _, _ in messages:
+        conns.setdefault(conn_id, (topic, mtype, md5, definition))
+
+    # bag header record, padded with 0x20 to 4096 bytes TOTAL record size
+    header = (
+        _hdr_field(b"op", b"\x03")
+        + _hdr_field(b"index_pos", struct.pack("<Q", 0))  # patched later
+        + _hdr_field(b"conn_count", struct.pack("<L", len(conns)))
+        + _hdr_field(b"chunk_count", struct.pack("<L", 0))  # patched later
+    )
+    pad = 4096 - 8 - len(header)
+    bag_header_pos = len(out)
+    out += struct.pack("<L", len(header)) + header
+    out += struct.pack("<L", pad) + b" " * pad
+
+    chunks = []  # (pos, start, end, {conn: count})
+    seen_conn_in_bag: set[int] = set()
+    for c0 in range(0, len(messages), msgs_per_chunk):
+        batch = messages[c0 : c0 + msgs_per_chunk]
+        chunk_body = bytearray()
+        offsets = {}  # conn -> [(time, offset-in-uncompressed-chunk)]
+        for conn_id, topic, mtype, md5, definition, _, _ in batch:
+            if conn_id not in seen_conn_in_bag:
+                seen_conn_in_bag.add(conn_id)
+                _conn_record(chunk_body, conn_id, topic, mtype, md5,
+                             definition)
+        for conn_id, _, _, _, _, t, body in batch:
+            pos = _write_record(
+                chunk_body,
+                [(b"op", b"\x02"), (b"conn", struct.pack("<L", conn_id)),
+                 (b"time", _ros_time(t))],
+                body,
+            )
+            offsets.setdefault(conn_id, []).append((t, pos))
+
+        raw = bytes(chunk_body)
+        comp = bz2.compress(raw) if compression == "bz2" else raw
+        chunk_pos = _write_record(
+            out,
+            [(b"op", b"\x05"), (b"compression", compression.encode()),
+             (b"size", struct.pack("<L", len(raw)))],
+            comp,
+        )
+        times = [t for _, _, _, _, _, t, _ in batch]
+        chunks.append((chunk_pos, min(times), max(times),
+                       {c: len(v) for c, v in offsets.items()}))
+        # index data v1.2, one record per connection in the chunk
+        for conn_id, entries in offsets.items():
+            payload = b"".join(
+                _ros_time(t) + struct.pack("<L", off) for t, off in entries
+            )
+            _write_record(
+                out,
+                [(b"op", b"\x04"), (b"ver", struct.pack("<L", 1)),
+                 (b"conn", struct.pack("<L", conn_id)),
+                 (b"count", struct.pack("<L", len(entries)))],
+                payload,
+            )
+
+    index_pos = len(out)
+    # trailer: all connection records again, then chunk infos
+    for conn_id, (topic, mtype, md5, definition) in conns.items():
+        _conn_record(out, conn_id, topic, mtype, md5, definition)
+    for chunk_pos, t0, t1, counts in chunks:
+        payload = b"".join(
+            struct.pack("<L", c) + struct.pack("<L", n)
+            for c, n in counts.items()
+        )
+        _write_record(
+            out,
+            [(b"op", b"\x06"), (b"ver", struct.pack("<L", 1)),
+             (b"chunk_pos", struct.pack("<Q", chunk_pos)),
+             (b"start_time", _ros_time(t0)), (b"end_time", _ros_time(t1)),
+             (b"count", struct.pack("<L", len(counts)))],
+            payload,
+        )
+
+    # patch index_pos / chunk_count inside the bag header record
+    blob = bytes(out)
+    header_blob = blob[bag_header_pos + 4 : bag_header_pos + 4 + len(header)]
+    patched = header_blob.replace(
+        _hdr_field(b"index_pos", struct.pack("<Q", 0)),
+        _hdr_field(b"index_pos", struct.pack("<Q", index_pos)),
+    ).replace(
+        _hdr_field(b"chunk_count", struct.pack("<L", 0)),
+        _hdr_field(b"chunk_count", struct.pack("<L", len(chunks))),
+    )
+    blob = (
+        blob[: bag_header_pos + 4] + patched
+        + blob[bag_header_pos + 4 + len(header) :]
+    )
+    with open(path, "wb") as f:
+        f.write(blob)
+
+
+# ------------------------------------------------- message serialization
+# (independent: raw struct packs following the msg definitions)
+
+
+def _msg_header(seq: int, t: float, frame: str) -> bytes:
+    return (
+        struct.pack("<L", seq) + _ros_time(t)
+        + struct.pack("<L", len(frame)) + frame.encode()
+    )
+
+
+def laser_scan_body(t, ranges, angle_min, inc, rmin=0.05, rmax=25.0,
+                    tinc=0.0):
+    r = np.asarray(ranges, "<f4")
+    intens = np.linspace(0, 1, len(r)).astype("<f4")  # non-empty on purpose
+    return (
+        _msg_header(7, t, "laser_frame")
+        + struct.pack("<7f", angle_min, angle_min + inc * (len(r) - 1), inc,
+                      tinc, tinc * len(r), rmin, rmax)
+        + struct.pack("<L", len(r)) + r.tobytes()
+        + struct.pack("<L", len(intens)) + intens.tobytes()
+    )
+
+
+def odometry_body(t, pose, wz=0.0):
+    x, y, yaw = (float(v) for v in pose)
+    return (
+        _msg_header(3, t, "odom")
+        + struct.pack("<L", 9) + b"base_link"
+        + struct.pack("<3d", x, y, 0.0)
+        + struct.pack("<4d", 0.0, 0.0, math.sin(yaw / 2), math.cos(yaw / 2))
+        + np.arange(36, dtype="<f8").tobytes()  # nontrivial covariance
+        + struct.pack("<6d", 0.1, 0.0, 0.0, 0.0, 0.0, wz)
+        + np.zeros(36, "<f8").tobytes()
+    )
+
+
+def imu_body(t, wz):
+    return (
+        _msg_header(1, t, "imu_link")
+        + np.array([0, 0, 0, 1], "<f8").tobytes()
+        + np.full(9, 0.01, "<f8").tobytes()
+        + np.array([0.001, -0.002, wz], "<f8").tobytes()
+        + np.full(9, 0.02, "<f8").tobytes()
+        + np.array([0.1, 0.2, 9.81], "<f8").tobytes()
+        + np.full(9, 0.03, "<f8").tobytes()
+    )
+
+
+def _make_messages(n_scans=9, nb=16):
+    msgs = []
+    for i in range(n_scans):
+        t = 100.0 + 0.1 * i
+        pose = (0.1 * i, 0.02 * i, 0.05 * i)
+        ranges = 2.0 + 0.1 * np.arange(nb) + 0.01 * i
+        ranges[3] = np.inf  # a dropout beam
+        msgs.append((0, "/laser_scan", "sensor_msgs/LaserScan", _LASER_MD5,
+                     _LASER_DEF, t,
+                     laser_scan_body(t, ranges, -1.57, 0.2)))
+        msgs.append((1, "/odom", "nav_msgs/Odometry", _ODOM_MD5,
+                     b"Header header\n...", t - 0.01,
+                     odometry_body(t - 0.01, pose, wz=0.5)))
+        msgs.append((2, "/imu", "sensor_msgs/Imu", _IMU_MD5,
+                     b"Header header\n...", t - 0.005,
+                     imu_body(t - 0.005, 0.5)))
+    return msgs
+
+
+@pytest.mark.parametrize("compression", ["none", "bz2"])
+def test_read_roscomm_layout_bag(tmp_path, compression):
+    path = tmp_path / f"fixture_{compression}.bag"
+    msgs = _make_messages()
+    write_roscomm_style_bag(path, msgs, compression=compression,
+                            msgs_per_chunk=5)  # multi-chunk (27 msgs)
+    out = read_bag(path)
+    # every message recovered once, despite trailer connection duplicates,
+    # index records, and chunk-info records interleaved in the stream
+    assert len(out) == len(msgs)
+    by_topic = {}
+    for m in out:
+        by_topic.setdefault(m.topic, []).append(m)
+    assert sorted(by_topic) == ["/imu", "/laser_scan", "/odom"]
+    assert len(by_topic["/laser_scan"]) == 9
+    assert by_topic["/laser_scan"][0].msg_type == "sensor_msgs/LaserScan"
+
+
+@pytest.mark.parametrize("compression", ["none", "bz2"])
+def test_scanlog_from_roscomm_layout_bag(tmp_path, compression):
+    path = tmp_path / f"fixture2_{compression}.bag"
+    write_roscomm_style_bag(path, _make_messages(),
+                            compression=compression, msgs_per_chunk=4)
+    log = bag_to_scanlog(path)
+    assert log.ranges.shape == (9, 16)
+    assert math.isclose(log.angle_min, -1.57, rel_tol=1e-6)
+    assert math.isclose(log.angle_increment, 0.2, rel_tol=1e-6)
+    # the injected dropout survives as inf
+    assert np.isinf(log.ranges[0, 3])
+    # odometry interpolated to scan stamps: x(t=100.0) between poses 0, 0.1
+    assert 0.0 <= log.odom[0, 0] <= 0.11
+    assert abs(log.odom[-1, 0] - 0.8) < 0.11
+    # gyro yaw rate from the IMU stream
+    assert np.allclose(log.imu_wz, 0.5, atol=1e-6)
+
+
+def test_lz4_chunk_requires_codec(tmp_path):
+    """A fake lz4-compressed chunk must either decode (codec present) or
+    raise the documented error — never silently misparse."""
+    try:
+        import lz4.frame  # noqa: F401
+        pytest.skip("lz4 available: covered by the real path")
+    except ImportError:
+        pass
+    path = tmp_path / "lz4.bag"
+    msgs = _make_messages(n_scans=2)
+    write_roscomm_style_bag(path, msgs, compression="none")
+    blob = path.read_bytes().replace(b"compression=none",
+                                     b"compression=lz4\x00")
+    # keep header length identical: 'lz4' is one byte shorter than 'none'
+    assert len(blob) == path.stat().st_size
+    path.write_bytes(blob)
+    with pytest.raises(ValueError, match="lz4"):
+        read_bag(path)

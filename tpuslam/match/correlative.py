@@ -74,10 +74,20 @@ class CorrelativeSpec:
     minimum_distance_penalty: float = 0.5
     minimum_angle_penalty: float = 0.9
     use_response_expansion: bool = True
-    # True reproduces GetResponse's exact normalization (Mapper.cpp:819-856
-    # divides by ALL readings, NaN ones included, depressing responses for
-    # lossy scans); False (default) divides by the valid-beam count
-    count_invalid_in_denominator: bool = False
+    # True (default) reproduces GetResponse's exact normalization: the
+    # reference's lookup arrays hold one entry per RAW beam (the matcher
+    # consumes the UNFILTERED point readings, Karto.h:5336-5355) and the
+    # denominator is that total count, NaN/out-of-range beams included
+    # (Mapper.cpp:819-856) — the accept/reject thresholds (0.35/0.45
+    # outdoor) were tuned by the reference under this normalization, so
+    # lossy scans must depress responses the same way.  False divides by
+    # the valid-beam count (stronger on lossy scans, but renders the
+    # reference's thresholds incomparable).  NOTE under True the static
+    # beam axis must equal the lidar's true beam count (size
+    # ``num_beams`` to the device, as the reference's
+    # m_NumberOfRangeReadings does) — padding beams would deflate
+    # responses.
+    count_invalid_in_denominator: bool = True
     # response-surface computation:
     # - "patch" sums per-point grid slices (dynamic-slice gathers; the only
     #   layout that is fast on CPU),
@@ -445,6 +455,16 @@ def _correlate(
 
         patches = jax.lax.map(one_angle, (oy, ox))  # [nA, S, S]
 
+    # snap the summed patches back to the exact integer lattice (grid
+    # values are multiples of 0.01, so 100x sums are integers < 2^24).
+    # This is NOT cosmetic: XLA may duplicate the einsum reduction into
+    # different fusions for different consumers (the max and the tie
+    # comparison), and f32 reassociation can then disagree by > the 1e-9
+    # tie tolerance — observed on CPU at loop-window sizes, where it
+    # EMPTIED the tie set and collapsed the averaged pose to zeros.  The
+    # fft/conv paths already round for the same reason.
+    patches = jnp.round(patches * 100.0) * 0.01
+
     # read the candidate lattice out of the response surfaces
     dyc = half + (cand_y - base_y)  # [nY] indices into the patch
     dxc = half + (cand_x - base_x)
@@ -509,7 +529,15 @@ def _finish_correlate(
         resp = jnp.where(resp > 0.0, resp * dist_pen * ang_pen, resp)
 
     best = jnp.max(resp)
-    tie = jnp.abs(resp - best) < 1e-9  # DoubleEqual tie set
+    # DoubleEqual tie set at the reference's KT_TOLERANCE (Math.h:41,138).
+    # The tolerance must stay >> 1 f32 ulp of a response (~6e-8): XLA may
+    # recompute `resp` in different fusions for the max and the comparison
+    # (reassociated sums / FMA contraction differ by ~1e-8), and a
+    # tighter tolerance (1e-9, the old value) intermittently EMPTIES the
+    # tie set under jit, collapsing the averaged pose to zeros.  True
+    # distinct responses are >= 1/(B*100) ~ 1e-5 apart, so 1e-6 is safe
+    # on both sides — and it is what the C++ groups by.
+    tie = jnp.abs(resp - best) <= 1e-6
     nt = jnp.maximum(jnp.sum(tie), 1).astype(jnp.float32)
     gx = jnp.sum(tie * (center_pose[0] + xs[None, :, None])) / nt
     gy = jnp.sum(tie * (center_pose[1] + xs[:, None, None])) / nt

@@ -48,6 +48,12 @@ class PlicpResult(NamedTuple):
     valid: Array  # [...] bool — CSM output.valid analog
     mean_error: Array  # [...] mean inlier point-to-line distance
     num_inliers: Array  # [...] int32
+    # [..., 3, 3] estimate covariance: sigma^2 * inv(J^T W J) of the final
+    # GN normal system (CSM's do_compute_covariance analog — the reference
+    # computes cov_x = sigma^2 * inv(d2E/dx2) each cycle and frees it,
+    # plicp_odometry.cc:373-387; here it is returned so PL-ICP edges can
+    # feed the pose-graph solver).  Identity when do_compute_covariance=0.
+    covariance: Array
 
 
 def _correspondences(
@@ -320,11 +326,52 @@ def plicp(
     enough = n_in[-1] >= 3
     valid = within & enough
     pose = jnp.where(valid, pose, init_pose)
+
+    if cfg.do_compute_covariance:
+        # CSM compute_covariance_exact analog (surfaced by the
+        # do_compute_covariance knob, plicp_odometry.cc:373-387): under
+        # iid point noise sigma^2 the estimate covariance of the
+        # point-to-line least squares is sigma^2 * inv(J^T W J) at the
+        # converged pose.  One extra correspondence pass at `pose` builds
+        # the final normal system (static knob: compiles away when off).
+        cov = _covariance_at(cfg, pose, src, src_valid, ref, ref_valid)
+        cov = jnp.where(valid, cov, jnp.eye(3, dtype=src.dtype) * 1e6)
+    else:
+        cov = jnp.eye(3, dtype=src.dtype)
     return PlicpResult(
         pose=pose,
         valid=valid,
         mean_error=errs[-1],
         num_inliers=n_in[-1].astype(jnp.int32),
+        covariance=cov,
+    )
+
+
+def _covariance_at(cfg, pose, src, src_valid, ref, ref_valid):
+    """J^T W J of the point-to-line system at ``pose`` → sigma^2 H^-1."""
+    cur = se2.transform_points(pose, src)
+    oh1, oh2, d1, ok = _correspondences(cur, src_valid, ref, ref_valid)
+    ok = ok & (d1 < cfg.max_correspondence_dist**2)
+    q1 = jnp.dot(oh1, ref, precision=jax.lax.Precision.HIGHEST)
+    q2 = jnp.dot(oh2, ref, precision=jax.lax.Precision.HIGHEST)
+    r, n = _point_line_residual(cur, q1, q2)
+    dist = jnp.abs(r)
+    sorted_d = jnp.sort(jnp.where(ok, dist, BIG))
+    n_ok = jnp.sum(ok)
+    k = jnp.clip(
+        (n_ok.astype(jnp.float32) * cfg.outliers_maxPerc).astype(jnp.int32),
+        0, dist.shape[0] - 1,
+    )
+    ok = ok & (dist <= jnp.maximum(jnp.take(sorted_d, k), 1e-9))
+    w = (ok & src_valid).astype(src.dtype)
+    c, s = jnp.cos(pose[2]), jnp.sin(pose[2])
+    px, py = src[:, 0], src[:, 1]
+    drot = jnp.stack([-s * px - c * py, c * px - s * py], axis=-1)
+    jth = jnp.sum(n * drot, axis=-1)
+    jac = jnp.concatenate([n, jth[:, None]], axis=-1)  # [B, 3]
+    h = jnp.einsum("bi,bj,b->ij", jac, jac, w)
+    return cfg.sigma**2 * jnp.linalg.inv(
+        h + 1e-9 * jnp.eye(3, dtype=h.dtype)
     )
 
 

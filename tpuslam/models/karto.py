@@ -293,6 +293,14 @@ class KartoMapper:
         self.cfg = cfg
         self.max_scans = max_scans
         self.events = events
+        if jax.default_backend() == "tpu":
+            # one-time Mosaic roll-semantics guard for the pallas response
+            # kernel (ops/pallas_correlative.py): fail loudly at engine
+            # construction rather than silently mis-matching if a jaxlib
+            # update changes dynamic-roll lowering
+            from tpuslam.ops.pallas_correlative import _roll_selfcheck
+
+            _roll_selfcheck()
 
         self.seq_spec = CorrelativeSpec(
             resolution=cfg.correlation_search_space_resolution,

@@ -62,6 +62,10 @@ class StepInfo(NamedTuple):
     match_valid: Array
     new_keyframe: Array
     mean_error: Array
+    # [3, 3] match covariance in the LASER frame (sigma^2 inv(J^T W J),
+    # match/plicp.py; identity unless cfg.do_compute_covariance) — lets
+    # PL-ICP odometry edges feed the pose-graph solver with honest weights
+    covariance: Array
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -91,6 +95,7 @@ def step(
             match_valid=jnp.ones((), bool),
             new_keyframe=jnp.ones((), bool),
             mean_error=jnp.zeros((), pts.dtype),
+            covariance=jnp.eye(3, dtype=pts.dtype),
         )
         return st, info
 
@@ -137,6 +142,7 @@ def step(
             match_valid=res.valid,
             new_keyframe=need_kf,
             mean_error=res.mean_error,
+            covariance=res.covariance,
         )
         return st, info
 

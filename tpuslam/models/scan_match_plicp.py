@@ -50,6 +50,7 @@ def step(
             valid=jnp.zeros((), bool),
             mean_error=jnp.zeros((), pts.dtype),
             num_inliers=jnp.zeros((), jnp.int32),
+            covariance=jnp.eye(3, dtype=pts.dtype),
         )
 
     def match(_):

@@ -58,12 +58,56 @@ def _window(s: int) -> tuple[int, int]:
     return rows, cols
 
 
+@functools.lru_cache(maxsize=1)
+def _roll_selfcheck() -> bool:
+    """One-time guard for the Mosaic roll semantics this kernel relies on.
+
+    The kernel's correctness depends on empirically measured Mosaic
+    behavior: dynamic ``pltpu.roll`` with POSITIVE shifts rotates
+    correctly on the non-power-of-two window dims we use (negative shifts
+    mis-rotate by +16; bf16 operands crash — both worked around).  If a
+    future jaxlib/Mosaic changes roll lowering, this check fails loudly at
+    first kernel use instead of silently producing wrong response
+    surfaces.  Interpreter mode (CPU) is exempt — it is the semantics
+    reference."""
+    if jax.default_backend() != "tpu":
+        return True
+    rows, cols = 48, 384  # the non-power-of-two dims the kernel rolls
+
+    def kernel(x_ref, sh_ref, o_ref):
+        x = x_ref[...]
+        o_ref[...] = pltpu.roll(
+            pltpu.roll(x, shift=sh_ref[0], axis=0), shift=sh_ref[1], axis=1
+        )
+
+    x = jnp.arange(rows * cols, dtype=jnp.float32).reshape(rows, cols)
+    for sy, sx in ((13, 129), (rows, cols), (1, 1)):
+        got = pl.pallas_call(
+            kernel,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_shape=jax.ShapeDtypeStruct((rows, cols), jnp.float32),
+        )(x, jnp.asarray([sy, sx], jnp.int32))
+        want = jnp.roll(jnp.roll(x, sy, axis=0), sx, axis=1)
+        if not bool(jnp.array_equal(got, want)):
+            raise RuntimeError(
+                "Mosaic pltpu.roll semantics changed (positive dynamic "
+                f"shift ({sy}, {sx}) on ({rows}, {cols}) mis-rotates); "
+                "the pallas correlative kernel would be silently wrong — "
+                "re-validate ops/pallas_correlative.py on this jaxlib or "
+                "set response_method='fft'/'patch'"
+            )
+    return True
+
+
 @functools.partial(jax.jit, static_argnames=("s",))
-def patch_sums_pallas(
-    grid: Array,  # [G, G] f32 probabilities in [0, 1], multiples of 0.01
-    ay: Array,  # [nA, B] int32 patch top rows (pre-masked, see module doc)
-    ax: Array,  # [nA, B] int32 patch left cols
-    s: int,  # patch side (static)
+def _patch_sums_pallas_jit(
+    grid: Array,
+    ay: Array,
+    ax: Array,
+    s: int,
 ) -> Array:
     """Summed S x S patches per angle: [nA, S, S] f32 (x100 integer sums)."""
     g = grid.shape[0]
@@ -128,6 +172,25 @@ def patch_sums_pallas(
         out_shape=jax.ShapeDtypeStruct((n_a, s, s), jnp.float32),
         interpret=jax.default_backend() == "cpu",
     )(ay, ax, grid100)
+
+
+def patch_sums_pallas(
+    grid: Array,  # [G, G] f32 probabilities in [0, 1], multiples of 0.01
+    ay: Array,  # [nA, B] int32 patch top rows (pre-masked, see module doc)
+    ax: Array,  # [nA, B] int32 patch left cols
+    s: int,  # patch side (static)
+) -> Array:
+    """Summed S x S patches per angle: [nA, S, S] f32 (x100 integer sums).
+
+    Runs the one-time Mosaic roll-semantics self-check when called
+    outside a trace; inside an outer jit trace (the normal match_scan
+    path) the check is the caller's duty at engine construction —
+    KartoMapper.__init__ runs it on TPU backends, as does verify_tpu.py."""
+    from jax._src import core as _core
+
+    if _core.trace_state_clean():
+        _roll_selfcheck()
+    return _patch_sums_pallas_jit(grid, ay, ax, s)
 
 
 def vmem_fits(g: int, s: int, budget_bytes: int = 14 * 1024 * 1024) -> bool:

@@ -1,0 +1,26 @@
+"""Reference-exact float64 NumPy oracles.
+
+These modules re-state the C++ reference's hot numerical contracts
+(open_karto's correlative scan matcher + mapper graph, and
+sparse_bundle_adjustment's SysSPA2d) in plain NumPy float64, preserving
+every quantization, tie rule, and quirk — including the ones that look
+like bugs — so the TPU implementation can be differential-tested against
+"what the reference computes" rather than against synthetic truth alone
+(tests/test_oracle_parity.py).
+
+They are deliberately slow scalar/NumPy code: fidelity over speed.
+"""
+
+from tpuslam.oracle.spa2d import OracleSpa2d
+from tpuslam.oracle.karto import (
+    OracleScan,
+    OracleScanMatcher,
+    OracleMapper,
+)
+
+__all__ = [
+    "OracleSpa2d",
+    "OracleScan",
+    "OracleScanMatcher",
+    "OracleMapper",
+]
