@@ -82,6 +82,42 @@ def test_karto_cmd():
     assert r["ate_rmse"] is not None and r["ate_rmse"] < 0.15
 
 
+def test_karto_laser_mount(tmp_path):
+    """--laser-mount wires the FrameTree into the karto workload: an
+    upright origin mount is a no-op, and a log recorded by an
+    upside-down laser (range arrays reversed, karto_slam.cc:417-425) is
+    restored by declaring the inverted extrinsic."""
+    r_plain = run_cli("karto", "--synthetic", "--num-scans", "12",
+                      "--num-beams", "180", "--seed", "3")
+    # upright mount at the base origin == no mount at all
+    r_id = run_cli("karto", "--synthetic", "--num-scans", "12",
+                   "--num-beams", "180", "--seed", "3",
+                   "--laser-mount", "0,0,0.3,0,0,0")
+    assert r_id["scans_processed"] == r_plain["scans_processed"]
+    assert abs(r_id["ate_rmse"] - r_plain["ate_rmse"]) < 1e-9
+
+    # record the same world with an INVERTED laser: reversed range arrays
+    import dataclasses
+
+    from tpuslam.io import bag
+
+    log, true = bag.synthesize(num_scans=12, num_beams=180, seed=3,
+                               poses_per_rev=40)
+    inv_log = dataclasses.replace(log, ranges=log.ranges[:, ::-1].copy())
+    p = tmp_path / "inv.npz"
+    bag.save_npz(p, inv_log)
+    save = tmp_path / "poses.npz"
+    run_cli("karto", "--log", str(p), "--save", str(save),
+            "--laser-mount", "0,0,0.3,3.14159265358979,0,0")
+    poses = np.load(save)["poses"]
+    n = poses.shape[0]
+    assert n == r_plain["scans_processed"]
+    # the mount restores the geometry: trajectory tracks the truth (the
+    # asymmetric angular grid leaves a <= 1-beam residual rotation)
+    ate = np.sqrt(((poses[:, :2] - true[:n, :2]) ** 2).sum(1)).mean()
+    assert ate < 0.2, ate
+
+
 def test_scan_info_cmd():
     r = run_cli("scan-info", "--synthetic", "--num-scans", "5",
                 "--num-beams", "90")

@@ -323,3 +323,56 @@ def test_outdoor_loop_geometry_runs():
     assert np.allclose(got[:2], true_off[:2], atol=0.15), got
     assert abs(got[2] - true_off[2]) < 0.05
     assert float(res.response) > 0.35  # outdoor coarse acceptance threshold
+
+
+def test_separable_smear_bit_identical_to_dense():
+    """The two-pass separable smear must reproduce the dense
+    (2h+1)^2 max-combine on the 0.01 quantization lattice EXACTLY
+    (round is monotone; factors are validated per entry at build time).
+
+    Raw f32 cell values may sit 1 ulp below f32(k/100) (XLA lowers the
+    final /100 to a reciprocal multiply); every response backend
+    re-quantizes via round(grid*100) before use, so the lattice — not
+    the raw float — is the contract.  Both are asserted here: lattice
+    exact, raw within 1 ulp."""
+    import dataclasses as dc
+
+    import jax
+
+    from tpuslam.match.correlative import _separable_smear_factors
+
+    for res, sigma, thr in [(0.05, 0.03, 6.0), (0.1, 0.3, 12.0),
+                            (0.01, 0.03, 4.0), (0.02, 0.04, 4.0)]:
+        spec = CorrelativeSpec(resolution=res, search_dim=0.3 if res != 0.1
+                               else 3.0, smear_deviation=sigma,
+                               range_threshold=thr)
+        assert _separable_smear_factors(spec) is not None, (res, sigma)
+        g = spec.grid_size
+        rng = np.random.default_rng(int(res * 1000))
+        pts = jnp.asarray(
+            rng.uniform(-thr * 0.7, thr * 0.7, (300, 2)), jnp.float32
+        )
+        valid = jnp.asarray(rng.random(300) > 0.1)
+        center = jnp.zeros(2)
+        grid_sep = build_correlation_grid(spec, center, pts[None], valid[None])
+
+        # dense reference: force the fallback path by monkeypatching
+        import tpuslam.match.correlative as mc
+
+        orig = mc._separable_smear_factors
+        mc._separable_smear_factors = lambda s: None
+        try:
+            build_dense = jax.jit(
+                lambda c, p, v: mc.build_correlation_grid.__wrapped__(
+                    spec, c, p, v
+                )
+            )
+            grid_dense = build_dense(center, pts[None], valid[None])
+        finally:
+            mc._separable_smear_factors = orig
+        sep = np.asarray(grid_sep)
+        dense = np.asarray(grid_dense)
+        np.testing.assert_array_equal(
+            np.round(sep * 100.0), np.round(dense * 100.0)
+        )
+        assert float(np.max(np.abs(sep - dense))) <= 1.2e-7

@@ -94,6 +94,27 @@ def test_checkpoint_pytree_roundtrip(tmp_path):
     assert got.log_odds[0].shape == st.log_odds[0].shape
 
 
+def test_checkpoint_structure_manifest_verified(tmp_path):
+    """A same-leaf-count but differently-structured template is rejected
+    via the stored treedef manifest (not just leaf-count comparison)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from tpuslam.checkpoint import load_pytree, save_pytree
+
+    p = tmp_path / "st.npz"
+    save_pytree(p, {"a": jnp.zeros(3), "b": jnp.ones(2)})
+    # same arity, different structure: tuple instead of dict
+    with pytest.raises(ValueError, match="manifest"):
+        load_pytree(p, (jnp.zeros(3), jnp.ones(2)))
+    # same arity, different dict keys
+    with pytest.raises(ValueError, match="manifest"):
+        load_pytree(p, {"a": jnp.zeros(3), "c": jnp.ones(2)})
+    # matching template still loads
+    got = load_pytree(p, {"a": jnp.zeros(3), "b": jnp.zeros(2)})
+    assert np.allclose(np.asarray(got["b"]), 1.0)
+
+
 def test_checkpoint_karto_roundtrip(tmp_path):
     from tpuslam.checkpoint import load_karto, save_karto
     from tpuslam.core.config import KartoConfig

@@ -327,7 +327,7 @@ def test_unlinkable_loop_closure_is_skipped():
     assert len(long_edges) >= m.stats["loop_closures"]
 
 
-def _drive_batch(parallel, n=24, batch_size=8, seed=11):
+def _drive_batch(parallel, n=24, batch_size=8, seed=11, pipeline=False):
     import dataclasses
 
     rng = np.random.default_rng(seed)
@@ -347,7 +347,7 @@ def _drive_batch(parallel, n=24, batch_size=8, seed=11):
         true = _np_compose(true, step)
         odom = _np_compose(odom, step + rng.normal(0, [0.01, 0.01, 0.004]))
     res = m.process_batch(scans, odoms, batch_size=batch_size,
-                          parallel=parallel)
+                          parallel=parallel, pipeline=pipeline)
     assert all(r.processed for r in res)
     est = np.stack([r.pose for r in res])
     return m, est, np.stack(trues)
@@ -371,6 +371,30 @@ def test_process_batch_parallel_matches_sequential():
     # a couple of fine-lattice cells per scan
     d = np.hypot(*(est_p[:, :2] - est_s[:, :2]).T)
     assert d.mean() < 0.08, d
+
+
+def test_process_batch_pipelined_matches_default():
+    """pipeline=True (two flushes in flight, RTT hidden) defers host-side
+    fusion/closure writebacks by one extra flush; on a well-behaved
+    trajectory the result must track the default batch path to within the
+    fusion deltas (mm) and the truth as tightly as the default."""
+    _, est_s, true = _drive_batch(parallel=False)
+    m, est_p, _ = _drive_batch(parallel=False, pipeline=True)
+    err_p = np.hypot(*(est_p[:, :2] - true[:, :2]).T)
+    assert err_p[1:].mean() < 0.08, err_p
+    d = np.hypot(*(est_p[:, :2] - est_s[:, :2]).T)
+    assert d.max() < 0.03, d
+    # the mapper state stays coherent for further per-scan processing
+    p = np.array([24 * 0.12, 0.0, 24 * 0.04])
+
+
+def test_pipeline_rejects_parallel():
+    import pytest
+
+    m = KartoMapper(CFG, max_scans=8)
+    with pytest.raises(ValueError, match="pipeline"):
+        m.process_batch([scan_at(np.zeros(3))], [np.zeros(3)],
+                        parallel=True, pipeline=True)
 
 
 def test_batch_expansion_retry_fires_on_blind_scan():

@@ -27,7 +27,11 @@ def save_pytree(path: str | os.PathLike, tree) -> None:
 
 
 def load_pytree(path: str | os.PathLike, like):
-    """Load a pytree saved by save_pytree; ``like`` provides the structure."""
+    """Load a pytree saved by save_pytree; ``like`` provides the structure.
+
+    The stored structure manifest is verified against ``like``'s treedef —
+    a same-leaf-count but differently-structured template is rejected
+    instead of silently reinterpreting the leaves."""
     z = np.load(path)
     leaves_like, treedef = jax.tree.flatten(like)
     n = len([k for k in z.files if k.startswith("leaf_")])
@@ -35,6 +39,13 @@ def load_pytree(path: str | os.PathLike, like):
         raise ValueError(
             f"checkpoint has {n} leaves; template expects {len(leaves_like)}"
         )
+    if "__treedef__" in z.files:
+        stored = json.loads(bytes(z["__treedef__"]).decode())
+        if stored != str(treedef):
+            raise ValueError(
+                "checkpoint structure manifest does not match the template "
+                f"pytree:\n  stored:   {stored}\n  template: {treedef}"
+            )
     leaves = [
         jnp.asarray(z[f"leaf_{i}"], dtype=leaves_like[i].dtype)
         if hasattr(leaves_like[i], "dtype")

@@ -72,6 +72,30 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    "names (core.config.from_yaml)")
     p.add_argument("--report", action="store_true",
                    help="print per-stage timing report to stderr")
+    p.add_argument("--laser-mount", metavar="X,Y,Z,ROLL,PITCH,YAW",
+                   help="static base_link->laser extrinsic (the reference "
+                   "looks this up from TF, karto_slam.cc:327-405 / "
+                   "plicp_odometry.cc:257-280); upside-down mounts "
+                   "(|roll| ~ pi) are auto-detected and their range arrays "
+                   "reversed, karto_slam.cc:417-425")
+
+
+def _laser_registry(args):
+    """Build the FrameTree/LaserRegistry for --laser-mount (or None).
+
+    Returns (registry, frame_name); the caller composes sensor poses via
+    ``registry.sensor_pose`` and stages ranges via ``stage_ranges`` —
+    the two static jobs the reference delegates to ROS TF."""
+    if not getattr(args, "laser_mount", None):
+        return None, None
+    from tpuslam.core.frames import FrameTree, LaserRegistry, Transform3
+
+    vals = [float(x) for x in args.laser_mount.split(",")]
+    if len(vals) != 6:
+        raise SystemExit("--laser-mount needs 6 comma-separated values")
+    ft = FrameTree("base_link")
+    ft.add("base_link", "laser", Transform3.from_xyz_rpy(*vals))
+    return LaserRegistry(ft), "laser"
 
 
 def _get_log(args):
@@ -409,6 +433,26 @@ def cmd_karto(args):
 def _run_karto(args, log, true, cfg, mapper):
     from tpuslam.utils.timing import StepTimer
 
+    registry, laser_frame = _laser_registry(args)
+
+    def stage(i):
+        """Scan + sensor-frame odometry for scan i, honoring the laser
+        extrinsic: inverted mounts reverse the range array
+        (karto_slam.cc:417-425) and the odometric search center is the
+        LASER's world pose, base ∘ offset (karto_slam.cc:381-405)."""
+        if registry is None:
+            return log.scan(i), log.odom[i]
+        from tpuslam.core.scan import make_scan
+
+        ranges = registry.stage_ranges(laser_frame, log.ranges[i])
+        scan = make_scan(
+            ranges, angle_min=log.angle_min,
+            angle_increment=log.angle_increment, range_min=log.range_min,
+            range_max=log.range_max, time_increment=log.time_increment,
+            num_beams=log.num_beams,
+        )
+        return scan, registry.sensor_pose(laser_frame, log.odom[i])
+
     timer = StepTimer()
     pub = None
     if getattr(args, "map_stream", None) is not None:
@@ -422,8 +466,9 @@ def _run_karto(args, log, true, cfg, mapper):
     loops = 0
     kept_truth = []
     for i in range(len(log)):
+        scan_i, odom_i = stage(i)
         with timer.stage("karto_process"):
-            res = mapper.process(log.scan(i), log.odom[i],
+            res = mapper.process(scan_i, odom_i,
                                  time=float(log.stamps[i]))
         if res.processed:
             loops += int(res.loop_closed)

@@ -207,6 +207,35 @@ def _smear_kernel(spec: CorrelativeSpec) -> np.ndarray:
     return np.round(z * 100.0) / 100.0
 
 
+def _separable_smear_factors(spec: CorrelativeSpec) -> np.ndarray | None:
+    """1-D factors e_i with round(100*e_i*e_j) == the reference kernel, if
+    they reproduce it EXACTLY; else None.
+
+    The Gaussian separates multiplicatively (exp(-(i^2+j^2)/2s^2) =
+    e_i * e_j) and round() is monotone non-decreasing, so
+    ``round(100 * max_stamps(e_i * e_j)) == max_stamps(round(100 e_i e_j))``
+    — the dense (2h+1)^2 max-combine collapses to two 1-D passes with ONE
+    final rounding, bit-identical to the reference table whenever every
+    f32 product rounds to the same integer as the reference's f64
+    hypot-based value (validated here per entry; a half-integer boundary
+    case falls back to the dense kernel).  This is a large win: the 15 m
+    loop matcher's 13x13 smear was 169 shifted max passes over a 1151^2
+    grid — the single biggest cost of a loop MatchScan."""
+    h = spec.half_kernel
+    if h == 0:
+        return None
+    i = np.arange(-h, h + 1, dtype=np.float64)
+    e = np.exp(-0.5 * (i * spec.resolution) ** 2 / spec.smear_deviation**2)
+    want = np.round(_smear_kernel(spec) * 100.0)
+    # device computes in f32: validate the f32 products round identically
+    e32 = e.astype(np.float32)
+    prod32 = (e32[:, None] * e32[None, :]).astype(np.float32)
+    got = np.round(prod32.astype(np.float64) * 100.0)
+    if not np.array_equal(got, want):
+        return None
+    return e32
+
+
 @partial(jax.jit, static_argnames=("spec",))
 def build_correlation_grid(
     spec: CorrelativeSpec,
@@ -240,6 +269,32 @@ def build_correlation_grid(
     h = spec.half_kernel
     if h == 0:
         return occ
+
+    sep = _separable_smear_factors(spec)
+    if sep is not None:
+        # two 1-D max passes + ONE final rounding — bit-identical to the
+        # dense (2h+1)^2 combine (see _separable_smear_factors)
+        padr = jnp.pad(occ, ((h, h), (0, 0)))
+        m1 = occ
+        for di in range(-h, h + 1):
+            if di == 0:
+                continue
+            shifted = jax.lax.dynamic_slice(padr, (h + di, 0), (g, g))
+            m1 = jnp.maximum(m1, shifted * float(sep[di + h]))
+        padc = jnp.pad(m1, ((0, 0), (h, h)))
+        out = m1
+        for dj in range(-h, h + 1):
+            if dj == 0:
+                continue
+            shifted = jax.lax.dynamic_slice(padc, (0, h + dj), (g, g))
+            out = jnp.maximum(out, shifted * float(sep[dj + h]))
+        # one final rounding to the 0.01 lattice.  XLA lowers /100.0 to a
+        # reciprocal multiply, leaving some cells 1 ulp below f32(k/100) —
+        # harmless: every response path re-quantizes via round(grid*100)
+        # (an exact-value table gather here measured ~9 ms on the 15 m
+        # loop grid, swamping the smear savings)
+        return jnp.round(out * 100.0) / 100.0
+
     pad = jnp.pad(occ, h)
     out = occ
     for di in range(-h, h + 1):

@@ -100,6 +100,25 @@ def _correspondences(
     return oh1, oh2, d1, ok
 
 
+def _kth_smallest(values: Array, mask: Array, k: Array) -> Array:
+    """Exact ``sorted(where(mask, values, BIG))[k]`` without a sort.
+
+    Nonnegative f32 values are order-isomorphic to their int32 bit
+    patterns, so the (k+1)-th smallest is found by building, bit by bit,
+    the largest integer v with ``count(x < v) <= k`` — 31 masked count
+    reductions instead of a bitonic sort (the sort was the PL-ICP
+    iteration's dominant serial cost on TPU: ~40% of the whole matcher).
+    Returns the exact element value (bit-identical to the sort+take)."""
+    xm = jnp.where(mask, values, jnp.float32(BIG)).astype(jnp.float32)
+    xi = jax.lax.bitcast_convert_type(xm, jnp.int32)
+    res = jnp.int32(0)
+    for b in range(30, -1, -1):
+        cand = res | jnp.int32(1 << b)
+        cnt = jnp.sum(xi < cand)
+        res = jnp.where(cnt <= k, cand, res)
+    return jax.lax.bitcast_convert_type(res, jnp.float32)
+
+
 def _point_line_residual(cur: Array, q1: Array, q2: Array):
     """Signed distance of cur to line(q1, q2) + unit normal."""
     t = q2 - q1
@@ -159,8 +178,18 @@ def plicp(
     method = cfg.correspondence_method
     if method == "auto":
         # the fused kernel is pallas.tpu-specific; any other backend
-        # (cpu, gpu) takes the portable XLA chain
-        method = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # (cpu, gpu) takes the portable XLA chain.  Very wide scans
+        # (> ~1300 beams padded) exceed the ~16 MB per-core VMEM with the
+        # kernel's [B, B'] working set and fail at Mosaic compile time —
+        # those fall back to the XLA chain (corr_vmem_fits).
+        from tpuslam.ops.pallas_plicp import corr_vmem_fits
+
+        method = (
+            "pallas"
+            if jax.default_backend() == "tpu"
+            and corr_vmem_fits(src.shape[0], n_ref)
+            else "xla"
+        )
     use_fused = method == "pallas" and not cfg.do_alpha_test
 
     def iteration(carry, _):
@@ -229,14 +258,14 @@ def plicp(
         dist = jnp.abs(r)
 
         # trim at the maxPerc quantile of valid distances + adaptive cut
-        sorted_d = jnp.sort(jnp.where(ok, dist, BIG))
+        # (exact selection, no sort — _kth_smallest)
         n_ok = jnp.sum(ok)
         k = jnp.clip(
             (n_ok.astype(jnp.float32) * cfg.outliers_maxPerc).astype(jnp.int32),
             0,
             dist.shape[0] - 1,
         )
-        thresh_perc = jnp.take(sorted_d, k)
+        thresh_perc = _kth_smallest(dist, ok, k)
         ka = jnp.clip(
             (n_ok.astype(jnp.float32) * cfg.outliers_adaptive_order).astype(
                 jnp.int32
@@ -244,7 +273,7 @@ def plicp(
             0,
             dist.shape[0] - 1,
         )
-        thresh_adap = cfg.outliers_adaptive_mult * jnp.take(sorted_d, ka)
+        thresh_adap = cfg.outliers_adaptive_mult * _kth_smallest(dist, ok, ka)
         ok = ok & (dist <= jnp.maximum(jnp.minimum(thresh_perc, thresh_adap), 1e-9))
 
         w = (ok & src_valid).astype(src.dtype)
@@ -277,12 +306,36 @@ def plicp(
         mean_err = jnp.sum(dist * w) / jnp.maximum(jnp.sum(w), 1.0)
         return (new_pose, done | conv), (jnp.sum(w), mean_err)
 
-    (pose, _), (n_in, errs) = jax.lax.scan(
-        iteration,
-        (init_pose, jnp.zeros((), bool)),
-        None,
-        length=cfg.max_iterations,
-    )
+    def _run_iterations(start_pose):
+        """CSM's early exit (epsilon_xy/theta) as a while_loop: converged
+        pairs stop PAYING for further iterations instead of freezing
+        through them — the correspondence kernel dominates the iteration
+        cost, and typical matches converge in 3-5 of the 10 budgeted
+        iterations.  Final values are identical to the frozen-scan
+        formulation (post-convergence iterations recompute the same
+        state); under vmap the loop runs until every pair in the batch
+        converges, with converged pairs frozen by the ``done`` mask."""
+
+        def cond(carry):
+            _, done, it, _, _ = carry
+            return (it < cfg.max_iterations) & ~done
+
+        def body(carry):
+            pose, done, it, _, _ = carry
+            (new_pose, new_done), (n_w, mean_err) = iteration(
+                (pose, done), None
+            )
+            return (new_pose, new_done, it + 1, n_w, mean_err)
+
+        pose, _, _, n_last, err_last = jax.lax.while_loop(
+            cond,
+            body,
+            (start_pose, jnp.zeros((), bool), jnp.int32(0),
+             jnp.zeros((), jnp.float32), jnp.zeros((), src.dtype)),
+        )
+        return pose, n_last, err_last
+
+    pose, n_last, err_last = _run_iterations(init_pose)
 
     if cfg.restart:
         # CSM restart semantics (icp_loop's restart knobs, surfaced by
@@ -295,27 +348,20 @@ def plicp(
                 [cfg.restart_dt, cfg.restart_dt, cfg.restart_dtheta],
                 init_pose.dtype,
             )
-            (p2, _), (n2, e2) = jax.lax.scan(
-                iteration,
-                (guess2, jnp.zeros((), bool)),
-                None,
-                length=cfg.max_iterations,
-            )
-            better = e2[-1] < errs[-1]
+            p2, n2, e2 = _run_iterations(guess2)
+            better = e2 < err_last
             return (
                 jnp.where(better, p2, pose),
-                jnp.where(better, n2[-1], n_in[-1]),
-                jnp.where(better, e2[-1], errs[-1]),
+                jnp.where(better, n2, n_last),
+                jnp.where(better, e2, err_last),
             )
 
-        pose, last_n, last_e = jax.lax.cond(
-            errs[-1] > cfg.restart_threshold_mean_error,
+        pose, n_last, err_last = jax.lax.cond(
+            err_last > cfg.restart_threshold_mean_error,
             do_restart,
-            lambda _: (pose, n_in[-1], errs[-1]),
+            lambda _: (pose, n_last, err_last),
             None,
         )
-        n_in = n_in.at[-1].set(last_n)
-        errs = errs.at[-1].set(last_e)
 
     # CSM clips corrections beyond the trust region and reports invalid
     within = (
@@ -323,7 +369,7 @@ def plicp(
         & (jnp.abs(pose[1] - init_pose[1]) <= cfg.max_linear_correction)
         & (jnp.abs(se2.wrap_angle(pose[2] - init_pose[2])) <= max_ang)
     )
-    enough = n_in[-1] >= 3
+    enough = n_last >= 3
     valid = within & enough
     pose = jnp.where(valid, pose, init_pose)
 
@@ -341,8 +387,8 @@ def plicp(
     return PlicpResult(
         pose=pose,
         valid=valid,
-        mean_error=errs[-1],
-        num_inliers=n_in[-1].astype(jnp.int32),
+        mean_error=err_last,
+        num_inliers=n_last.astype(jnp.int32),
         covariance=cov,
     )
 
@@ -356,13 +402,12 @@ def _covariance_at(cfg, pose, src, src_valid, ref, ref_valid):
     q2 = jnp.dot(oh2, ref, precision=jax.lax.Precision.HIGHEST)
     r, n = _point_line_residual(cur, q1, q2)
     dist = jnp.abs(r)
-    sorted_d = jnp.sort(jnp.where(ok, dist, BIG))
     n_ok = jnp.sum(ok)
     k = jnp.clip(
         (n_ok.astype(jnp.float32) * cfg.outliers_maxPerc).astype(jnp.int32),
         0, dist.shape[0] - 1,
     )
-    ok = ok & (dist <= jnp.maximum(jnp.take(sorted_d, k), 1e-9))
+    ok = ok & (dist <= jnp.maximum(_kth_smallest(dist, ok, k), 1e-9))
     w = (ok & src_valid).astype(src.dtype)
     c, s = jnp.cos(pose[2]), jnp.sin(pose[2])
     px, py = src[:, 0], src[:, 1]

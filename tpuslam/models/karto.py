@@ -347,6 +347,9 @@ class KartoMapper:
         # device-side scan store (local sensor-frame points, fixed capacity)
         self._pts = jnp.zeros((max_scans, b, 2), jnp.float32)
         self._valid = jnp.zeros((max_scans, b), bool)
+        # device-resident matched-pose store, refreshed by every sequential
+        # batch dispatch (carries inflight poses across pipelined flushes)
+        self._poses_dev = None
         # host-side metadata; scan ids are global, windows are per sensor
         # (the reference's MapperSensorManager keys everything by sensor
         # name, karto_slam.cc:327-405 supports one device per laser frame)
@@ -787,6 +790,7 @@ class KartoMapper:
         sensor: str = "laser0",
         batch_size: int = 16,
         parallel: bool = False,
+        pipeline: bool = False,
     ) -> list[ProcessResult]:
         """Offline (bag-playback) processing: the device side of up to
         ``batch_size`` consecutive scans runs as ONE dispatch
@@ -822,6 +826,16 @@ class KartoMapper:
         are odometry-predicted rather than previously-matched).  Highest
         throughput; valid while odometric drift over one flush stays well
         inside the search window.
+
+        ``pipeline=True`` (sequential mode only) keeps TWO flushes in
+        flight: batch k+1 is dispatched BEFORE batch k's results are
+        fetched, hiding the PJRT round-trip (the dominant per-flush cost
+        on tunneled backends at small batch sizes).  Batch k+1's chain
+        poses for batch-k scans come from the device-resident matched
+        poses; host-side corrections (weighted-mean fusion, loop-closure
+        writebacks) land one flush later than in the unpipelined path —
+        the same class of bounded deferral as the in-batch semantics
+        above, now spanning two flushes.
         """
         cfg = self.cfg
         n_in = len(scans)
@@ -852,30 +866,39 @@ class KartoMapper:
                 batch_spec, response_method="patch"
             )
 
-        def flush():
-            nonlocal last_odom, last_time
-            if not pending:
-                return
-            k = len(pending)
-            sid0 = self._num()
+        # two-deep pipeline state: the dispatched-but-unfetched flush
+        inflight: dict | None = None
+
+        def dispatch(pend: list[int]) -> dict:
+            """Build inputs + issue the fused device program; NO fetch."""
+            k = len(pend)
+            # sids continue past any inflight batch (records not yet added)
+            n_inflight = len(inflight["pending"]) if inflight else 0
+            sid0 = self._num() + n_inflight
             cap = cfg.scan_buffer_size
             running = self.running_by_sensor.setdefault(sensor, [])
-            last_id = self.last_by_sensor[sensor]
+            if inflight:
+                prev_odom = inflight["odom_last"]
+                prior_ids = running + inflight["sids"]
+            else:
+                last_id = self.last_by_sensor[sensor]
+                prev_odom = self.records[last_id].odom_pose
+                prior_ids = list(running)
 
-            batch = _stack_scans(tuple(scans[i] for i in pending))
+            batch = _stack_scans(tuple(scans[i] for i in pend))
             deltas = np.zeros((k, 3), np.float32)
-            prev_odom = self.records[last_id].odom_pose
-            for j, i in enumerate(pending):
+            for j, i in enumerate(pend):
                 deltas[j] = _np_relative(prev_odom, odom_poses[i])
                 prev_odom = odom_poses[i]
             chain_idx = np.zeros((k, cap), np.int32)
             chain_len = np.zeros(k, np.int32)
             for j in range(k):
-                ids = (running + [sid0 + x for x in range(j)])[-cap:]
+                ids = (prior_ids + [sid0 + x for x in range(j)])[-cap:]
                 chain_idx[j, : len(ids)] = ids
                 chain_len[j] = len(ids)
             if parallel:
                 # odometry-chained predictions for every scan of the flush
+                last_id = self.last_by_sensor[sensor]
                 centers = np.zeros((k, 3), np.float32)
                 prev = self.poses[last_id]
                 for j in range(k):
@@ -902,28 +925,59 @@ class KartoMapper:
                     max_range=cfg.use_scan_range,
                 )
             else:
+                poses_host = jnp.asarray(
+                    self.poses[: self.max_scans], jnp.float32
+                )
+                if inflight:
+                    # host poses lack the inflight batch's matches: merge
+                    # them in from the device-resident store, and chain
+                    # from the device-matched last pose
+                    s0, k0 = inflight["sid0"], len(inflight["pending"])
+                    poses_in = poses_host.at[s0 : s0 + k0].set(
+                        self._poses_dev[s0 : s0 + k0]
+                    )
+                    start_pose = self._poses_dev[sid0 - 1]
+                else:
+                    poses_in = poses_host
+                    start_pose = jnp.asarray(
+                        self.poses[self.last_by_sensor[sensor]], jnp.float32
+                    )
                 (
                     self._pts,
                     self._valid,
-                    _,
+                    self._poses_dev,
                     (poses_k, resp_k, cov_k, mean_k),
                 ) = _fused_batch_steps(
                     batch_spec,
                     self._pts,
                     self._valid,
-                    jnp.asarray(self.poses[: self.max_scans], jnp.float32),
+                    poses_in,
                     jnp.int32(sid0),
                     batch,
                     jnp.asarray(deltas),
                     jnp.asarray(chain_idx),
                     jnp.asarray(chain_len),
-                    jnp.asarray(self.poses[last_id], jnp.float32),
+                    start_pose,
                     max_range=cfg.use_scan_range,
                 )
-            poses_k, resp_k, cov_k, mean_k = jax.device_get(
-                (poses_k, resp_k, cov_k, mean_k)
-            )
-            for j, i in enumerate(pending):
+            return {
+                "pending": list(pend),
+                "sids": [sid0 + j for j in range(k)],
+                "sid0": sid0,
+                "odom_last": odom_poses[pend[-1]],
+                "deltas": deltas,
+                "chain_idx": chain_idx,
+                "chain_len": chain_len,
+                "cap": cap,
+                "running": running,
+                "outs": (poses_k, resp_k, cov_k, mean_k),
+            }
+
+        def finish(rec: dict):
+            poses_k, resp_k, cov_k, mean_k = jax.device_get(rec["outs"])
+            sid0 = rec["sid0"]
+            last_id = self.last_by_sensor[sensor]
+            for j, i in enumerate(rec["pending"]):
                 sid = sid0 + j
                 lid_j = last_id if j == 0 else sid - 1
                 pose_j = np.asarray(poses_k[j], np.float64)
@@ -931,11 +985,13 @@ class KartoMapper:
                 cov_j = np.asarray(cov_k[j], np.float64)
                 if resp_j == 0.0 and self.seq_spec.use_response_expansion:
                     # host-side response-expansion retry (Mapper.cpp:242-272)
-                    ids = list(chain_idx[j][: int(chain_len[j])])
-                    center_j = _np_compose(self.poses[lid_j], deltas[j])
+                    ids = list(rec["chain_idx"][j][: int(rec["chain_len"][j])])
+                    center_j = _np_compose(
+                        self.poses[lid_j], rec["deltas"][j]
+                    )
                     pose_j, resp_j, cov_j = self._match(
                         self.seq_spec, sid, center_j, [int(x) for x in ids],
-                        cap, penalize=True, refine=True,
+                        rec["cap"], penalize=True, refine=True,
                     )
                     self.stats["expansion_retries"] += 1
                 results[i] = self._finish_scan(
@@ -947,14 +1003,36 @@ class KartoMapper:
                     odom_poses[i],
                     times[i],
                     sensor,
-                    running,
+                    rec["running"],
                     lid_j,
                 )
                 self.last_by_sensor[sensor] = sid
-            pending.clear()
+
+        def flush(final: bool = False):
+            nonlocal inflight
+            if pending:
+                rec = dispatch(pending)
+                pending.clear()
+                if inflight:
+                    prev, inflight = inflight, None
+                    finish(prev)
+                if pipeline and not final:
+                    inflight = rec
+                else:
+                    finish(rec)
+            elif inflight and final:
+                prev, inflight = inflight, None
+                finish(prev)
+
+        if pipeline and parallel:
+            raise ValueError(
+                "pipeline=True requires sequential mode (parallel=False): "
+                "the parallel program does not carry the device pose store"
+            )
 
         for i in range(n_in):
-            if self._num() + len(pending) >= self.max_scans:
+            n_inflight = len(inflight["pending"]) if inflight else 0
+            if self._num() + n_inflight + len(pending) >= self.max_scans:
                 results[i] = ProcessResult(False, odom_poses[i], 0.0, False)
                 continue
             if self.last_by_sensor.get(sensor) is None and not pending:
@@ -985,7 +1063,7 @@ class KartoMapper:
                 results[i] = ProcessResult(False, odom_poses[i], 0.0, False)
                 continue
             if not cfg.use_scan_matching:
-                flush()
+                flush(final=True)
                 results[i] = self.process(
                     scans[i], odom_poses[i], times[i], sensor
                 )
@@ -997,7 +1075,7 @@ class KartoMapper:
             last_time = times[i]
             if len(pending) >= batch_size:
                 flush()
-        flush()
+        flush(final=True)
         return results
 
     # --------------------------------------------------------- loop closure

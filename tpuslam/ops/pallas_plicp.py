@@ -60,13 +60,20 @@ def _corr_kernel(
     def kernel(md2_ref, curx_r, cury_r, refx_r, refy_r, sv_r, rv_r,
                q1x_r, q1y_r, q2x_r, q2y_r, d1_r, ok_r):
         lane = jax.lax.broadcasted_iota(jnp.int32, (bp, np_), 1)
-        for k in range(PACK):  # static unroll over the packed pairs
-            cx = curx_r[0, k, :].reshape(bp, 1)
-            cy = cury_r[0, k, :].reshape(bp, 1)
-            rx = refx_r[0, k, :].reshape(1, np_)
-            ry = refy_r[0, k, :].reshape(1, np_)
-            svb = sv_r[0, k, :].reshape(bp, 1) > 0
-            rvb = rv_r[0, k, :].reshape(1, np_) > 0
+
+        # fori_loop (NOT a static unroll) over the packed pairs: Mosaic
+        # stack-allocates each unrolled iteration's [bp, np_] intermediates
+        # SEPARATELY, so an 8x unroll at 1081 beams (1152-padded) piled
+        # ~35 MB of scoped VMEM against the 16 MB limit and failed to
+        # compile — found by verify_tpu.py at the production beam count.
+        # A loop body compiles once and reuses one set of buffers.
+        def body(k, carry):
+            cx = curx_r[0, pl.ds(k, 1), :].reshape(bp, 1)
+            cy = cury_r[0, pl.ds(k, 1), :].reshape(bp, 1)
+            rx = refx_r[0, pl.ds(k, 1), :].reshape(1, np_)
+            ry = refy_r[0, pl.ds(k, 1), :].reshape(1, np_)
+            svb = sv_r[0, pl.ds(k, 1), :].reshape(bp, 1) > 0
+            rvb = rv_r[0, pl.ds(k, 1), :].reshape(1, np_) > 0
 
             dx = cx - rx
             dy = cy - ry
@@ -79,26 +86,44 @@ def _corr_kernel(
             )  # lowest-index argmin (jnp.argmin tie rule)
 
             oh1 = lane == j1  # [bp, np_]
+            # exact coordinate selection: masked VPU reduces (no MXU)
+            q1x = jnp.sum(jnp.where(oh1, rx, 0.0), axis=1, keepdims=True)
+            q1y = jnp.sum(jnp.where(oh1, ry, 0.0), axis=1, keepdims=True)
             if line:
-                # neighbor distances via lane rolls: roll(d2,-1)[j]=d2[j+1]
-                roll_m = jnp.concatenate([d2[:, 1:], d2[:, :1]], axis=1)
-                roll_p = jnp.concatenate([d2[:, -1:], d2[:, :-1]], axis=1)
-                d_r = jnp.sum(
-                    jnp.where(oh1, roll_m, 0.0), axis=1, keepdims=True
-                )
-                d_l = jnp.sum(
-                    jnp.where(oh1, roll_p, 0.0), axis=1, keepdims=True
-                )
+                # neighbor distances WITHOUT the two full lane-rolled d2
+                # copies (each another [bp, np_] f32 buffer): select the
+                # j1±1 neighbor's coordinates/validity through one-hots
+                # and recompute its distance directly — the identical
+                # dx*dx + dy*dy expression on the identical operands, so
+                # the value matches the d2 entry bit-for-bit.
+                ohp = lane == j1 + 1
+                ohm = lane == j1 - 1
+                rxp = jnp.sum(jnp.where(ohp, rx, 0.0), axis=1, keepdims=True)
+                ryp = jnp.sum(jnp.where(ohp, ry, 0.0), axis=1, keepdims=True)
+                rxm = jnp.sum(jnp.where(ohm, rx, 0.0), axis=1, keepdims=True)
+                rym = jnp.sum(jnp.where(ohm, ry, 0.0), axis=1, keepdims=True)
+                vp = jnp.sum(
+                    jnp.where(ohp & rvb, 1, 0), axis=1, keepdims=True
+                ) > 0
+                vm = jnp.sum(
+                    jnp.where(ohm & rvb, 1, 0), axis=1, keepdims=True
+                ) > 0
+                dxp = cx - rxp
+                dyp = cy - ryp
+                d_r = jnp.where(vp & svb, dxp * dxp + dyp * dyp, BIG)
+                dxm = cx - rxm
+                dym = cy - rym
+                d_l = jnp.where(vm & svb, dxm * dxm + dym * dym, BIG)
                 d_r = jnp.where(j1 == n_ref - 1, BIG, d_r)
                 d_l = jnp.where(j1 == 0, BIG, d_l)
                 right = d_r < d_l
-                j2 = jnp.where(right, j1 + 1, j1 - 1)
-                oh2 = lane == j2
+                q2x = jnp.where(right, rxp, rxm)
+                q2y = jnp.where(right, ryp, rym)
                 d2nd = jnp.minimum(d_r, d_l)
                 ok = (d1 < BIG) & (d2nd < BIG) & (d1 < md2_ref[0])
             else:
                 # nearest-only mode (point-to-point ICP): no line neighbor
-                oh2 = oh1
+                q2x, q2y = q1x, q1y
                 ok = (d1 < BIG) & (d1 < md2_ref[0])
 
             if remove_doubles:
@@ -110,13 +135,15 @@ def _corr_kernel(
                 )
                 ok = ok & (d1 <= my_best + 1e-12)
 
-            # exact coordinate selection: masked VPU reduces (no MXU)
-            q1x_r[0, k, :] = jnp.sum(jnp.where(oh1, rx, 0.0), axis=1)
-            q1y_r[0, k, :] = jnp.sum(jnp.where(oh1, ry, 0.0), axis=1)
-            q2x_r[0, k, :] = jnp.sum(jnp.where(oh2, rx, 0.0), axis=1)
-            q2y_r[0, k, :] = jnp.sum(jnp.where(oh2, ry, 0.0), axis=1)
-            d1_r[0, k, :] = d1.reshape(bp)
-            ok_r[0, k, :] = ok.reshape(bp).astype(jnp.int32)
+            q1x_r[0, pl.ds(k, 1), :] = q1x.reshape(1, bp)
+            q1y_r[0, pl.ds(k, 1), :] = q1y.reshape(1, bp)
+            q2x_r[0, pl.ds(k, 1), :] = q2x.reshape(1, bp)
+            q2y_r[0, pl.ds(k, 1), :] = q2y.reshape(1, bp)
+            d1_r[0, pl.ds(k, 1), :] = d1.reshape(1, bp)
+            ok_r[0, pl.ds(k, 1), :] = ok.reshape(1, bp).astype(jnp.int32)
+            return carry
+
+        jax.lax.fori_loop(0, PACK, body, 0)
 
     return kernel
 
@@ -198,6 +225,20 @@ def _corr_fn(remove_doubles: bool, line: bool = True):
         return outs, (True, True, True, True)
 
     return f
+
+
+def corr_vmem_fits(b: int, n_ref: int,
+                   budget_bytes: int = 15 * 1024 * 1024) -> bool:
+    """True if the kernel's per-iteration working set fits scoped VMEM.
+
+    The dominant live buffers inside one fori_loop iteration are the
+    [bp, np_] f32 distance matrix plus one masked-select temporary of the
+    same shape (~2x); measured on v5e: 1152-padded compiles (~10.6 MB by
+    this rule), 1536-padded fails at 19.6 M against the 16 M scoped
+    limit.  Callers fall back to the XLA chain above the budget."""
+    bp = _round_up(b, 128)
+    np_ = _round_up(n_ref, 128)
+    return 2 * bp * np_ * 4 <= budget_bytes
 
 
 def correspondences_pallas(

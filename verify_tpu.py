@@ -69,8 +69,19 @@ def _numpy_correspondences(cur, sv, ref, rv, max_d2, remove_doubles):
 
 
 def main() -> int:
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # reuse the CLI's persistent compilation cache — this gate compiles a
+    # dozen Mosaic programs, minutes cold but seconds warm
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("TPUSLAM_COMPILE_CACHE",
+                       os.path.expanduser("~/.cache/tpuslam-xla")),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     failures = 0
 
@@ -142,7 +153,19 @@ def main() -> int:
             )
 
     # ---- 3. PL-ICP correspondence kernel
-    from tpuslam.ops.pallas_plicp import correspondences_pallas, nearest_pallas
+    from tpuslam.ops.pallas_plicp import (
+        corr_vmem_fits,
+        correspondences_pallas,
+        nearest_pallas,
+    )
+
+    # the production beam counts must take the kernel; very wide scans
+    # must be REJECTED by the gate (1536-padded measured 19.6 M scoped
+    # VMEM > the 16 M limit — a compile failure if the gate ever lets
+    # them through)
+    check("corr_vmem_fits(512)", corr_vmem_fits(512, 512))
+    check("corr_vmem_fits(1081)", corr_vmem_fits(1081, 1081))
+    check("corr_vmem_fits rejects 1440", not corr_vmem_fits(1440, 1440))
 
     for n_beams in (512, 1081):
         cur = rng.normal(0, 2.0, (n_beams, 2)).astype(np.float32)
