@@ -380,20 +380,67 @@ def _correlate(
             method = "fft" if patch_bytes > 192 * 1024 * 1024 else "patch"
 
     if method == "pallas":
-        from tpuslam.ops.pallas_correlative import patch_sums_pallas
+        from tpuslam.ops.pallas_correlative import (
+            patch_sums_pallas,
+            patch_sums_stride2,
+            stride2_vmem_fits,
+        )
 
         ay = base_y + oy - half  # [nA, B] patch top-left
         ax = base_x + ox - half
         ok = valid[None, :] & (ay >= 0) & (ax >= 0) & (ay + size <= g) & (
             ax + size <= g
         )
-        # dropped points read the kernel's zero landing strip at row g
-        ay = jnp.where(ok, ay, g)
-        ax = jnp.where(ok, ax, 0)
-        patches = patch_sums_pallas(grid, ay, ax, size) * 0.01
         dyc = half + (cand_y - base_y)
         dxc = half + (cand_x - base_x)
-        resp = patches[:, dyc[:, None], dxc[None, :]] / denom
+
+        # Coarse searches read the response at a STRIDE-2 candidate
+        # lattice (coarse_xy steps 2*resolution, Mapper.cpp:219-240) —
+        # summing full patches computes 4x the needed shifts.  At loop
+        # scale (size >= 40: the 4 m / 15 m windows; sequential windows
+        # are excluded to keep the fused batch programs single-kernel)
+        # take the parity-split stride-2 kernel instead, guarded by a
+        # runtime uniformity check on the candidate cells: cand cells are
+        # floor-quantized per candidate exactly as the reference does, so
+        # a half-cell float boundary can in principle break the +2
+        # progression — the lax.cond then falls back to the full kernel,
+        # keeping the result bit-identical to the readout path always.
+        steps = np.diff(np.asarray(xy_offsets, np.float64))
+        ny = len(xy_offsets)
+        use_stride2 = (
+            ny >= 2
+            and size >= 40
+            and np.allclose(steps, 2.0 * res, rtol=0, atol=1e-6 * res)
+            and stride2_vmem_fits(g, ny)
+        )
+        if use_stride2:
+            k2 = jnp.arange(ny, dtype=dyc.dtype)
+            uniform = (
+                jnp.all(dyc == dyc[0] + 2 * k2)
+                & jnp.all(dxc == dxc[0] + 2 * k2)
+                & (dyc[0] >= 0)
+                & (dxc[0] >= 0)
+                & (dyc[-1] <= size - 1)
+                & (dxc[-1] <= size - 1)
+            )
+
+            def _stride2(_):
+                p2 = patch_sums_stride2(grid, ay + dyc[0], ax + dxc[0], ok, ny)
+                return p2 * 0.01 / denom
+
+            def _full(_):
+                ay_s = jnp.where(ok, ay, g)
+                ax_s = jnp.where(ok, ax, 0)
+                patches = patch_sums_pallas(grid, ay_s, ax_s, size) * 0.01
+                return patches[:, dyc[:, None], dxc[None, :]] / denom
+
+            resp = jax.lax.cond(uniform, _stride2, _full, None)
+        else:
+            # dropped points read the kernel's zero landing strip at row g
+            ay = jnp.where(ok, ay, g)
+            ax = jnp.where(ok, ax, 0)
+            patches = patch_sums_pallas(grid, ay, ax, size) * 0.01
+            resp = patches[:, dyc[:, None], dxc[None, :]] / denom
         return _finish_correlate(
             spec, resp, center_pose, xs, angs, angle_offsets, penalize,
             angle_mask,

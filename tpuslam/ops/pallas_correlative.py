@@ -193,6 +193,134 @@ def patch_sums_pallas(
     return _patch_sums_pallas_jit(grid, ay, ax, s)
 
 
+@functools.partial(jax.jit, static_argnames=("s2",))
+def _patch_sums_stride2_jit(
+    grid: Array,
+    ay: Array,
+    ax: Array,
+    ok: Array,
+    s2: int,
+) -> Array:
+    """Stride-2 patch sums: out[a, k, l] = sum_p grid100[ay + 2k, ax + 2l].
+
+    The coarse correlative search only reads the response at a stride-2
+    candidate lattice (coarse_xy steps 2*resolution = 2 grid cells,
+    Mapper.cpp:219-240), so summing full (2h+1)^2 patches computes 4x the
+    needed shifts AND pays tile-aligned window rolls sized to the full
+    patch.  This kernel splits the grid into its four cell-parity
+    subgrids — grid[2i+py, 2j+px] = sub[2*py+px][i, j] — after which a
+    stride-2 patch of the full grid is a DENSE patch of one subgrid
+    (grid[ay + 2k] = sub[parity(ay)][ay>>1 + k]): the same roll-extract
+    walk as ``patch_sums_pallas`` on half-size windows.  Each addend is
+    the identical bf16 grid value, accumulated in the identical point
+    order, and every sum is an exact integer < 2^24 in f32 — the output
+    is bit-identical to reading the full kernel's patches at the even
+    sublattice.  Measured (v5e, 15 m loop window, 21 angles x 1081
+    points): 6.9 -> 2.9 ms for the coarse response.
+
+    ``ok`` masks dropped points (invalid beams / patch leaves the grid) —
+    same contract as the full kernel's ay=G sentinel, passed explicitly
+    here because callers shift ay by the first candidate offset first.
+    """
+    g = grid.shape[0]
+    n_a, b = ay.shape
+    rows, cols = _window(s2)
+    g2 = (g + 1) // 2
+    gr2 = _round_up(g2 + rows, _ROW_ALIGN)
+    gc2 = _round_up(g2 + cols, _COL_ALIGN)
+    gi = jnp.round(grid * 100.0).astype(jnp.bfloat16)
+    gp = jnp.zeros((2 * g2, 2 * g2), jnp.bfloat16).at[:g, :g].set(gi)
+    # the four parity subgrids ROW-STACKED into one 2-D array: subgrid
+    # q = 2*(ay&1)+(ax&1) occupies rows [q*gr2, q*gr2 + g2).  A dynamic
+    # row offset q*gr2 + (ay>>1) keeps the in-kernel load the same proven
+    # 2-D tile-aligned dynamic-slice + roll pattern as the full kernel
+    # (a [4, ., .] VMEM ref with a dynamically indexed leading dim both
+    # lowered slowly AND needed a third SMEM index array, which overflowed
+    # the 1 MB SMEM budget at the 81-angle expansion sweep).  The split
+    # itself is a single reshape/transpose pass — four separate strided
+    # gathers (gp[py::2, px::2]) measured 1.4x slower end-to-end.
+    q4 = gp.reshape(g2, 2, g2, 2).transpose(1, 3, 0, 2).reshape(4, g2, g2)
+    sub = (
+        jnp.zeros((4, gr2, gc2), jnp.bfloat16)
+        .at[:, :g2, :g2]
+        .set(q4)
+        .reshape(4 * gr2, gc2)
+    )
+    # masked points use sentinel row 2*g2: (2*g2)>>1 = g2 lands on the
+    # zero strip rows [g2, g2+rows) of (even, even) subgrid 0
+    ay_s = jnp.where(ok, ay, 2 * g2).astype(jnp.int32)
+    ax_s = jnp.where(ok, ax, 0).astype(jnp.int32)
+
+    def kernel(ay_ref, ax_ref, sub_ref, out_ref):
+        a = pl.program_id(0)
+
+        def body(p, acc):
+            y0 = ay_ref[a, p]
+            x0 = ax_ref[a, p]
+            q = 2 * (y0 & 1) + (x0 & 1)
+            y = y0 >> 1
+            x = x0 >> 1
+            ya = pl.multiple_of(
+                q * gr2 + (y // _ROW_ALIGN) * _ROW_ALIGN, _ROW_ALIGN
+            )
+            xa = pl.multiple_of((x // _COL_ALIGN) * _COL_ALIGN, _COL_ALIGN)
+            big = sub_ref[pl.ds(ya, rows), pl.ds(xa, cols)].astype(
+                jnp.float32
+            )
+            # positive-equivalent shifts only (Mosaic dynamic-roll rule,
+            # see _roll_selfcheck / module docstring)
+            up = pltpu.roll(big, shift=rows - (y - (ya - q * gr2)), axis=0)
+            left = pltpu.roll(up, shift=cols - (x - xa), axis=1)
+            return acc + left[:s2, :s2]
+
+        acc = jax.lax.fori_loop(0, b, body, jnp.zeros((s2, s2), jnp.float32))
+        out_ref[0] = acc
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_a,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (4 * gr2, gc2), lambda a: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, s2, s2), lambda a: (a, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_a, s2, s2), jnp.float32),
+        interpret=jax.default_backend() == "cpu",
+    )(ay_s, ax_s, sub)
+
+
+def patch_sums_stride2(
+    grid: Array,  # [G, G] f32 probabilities in [0, 1], multiples of 0.01
+    ay: Array,  # [nA, B] int32 top row of the stride-2 span (candidate 0)
+    ax: Array,  # [nA, B] int32 left col of the stride-2 span
+    ok: Array,  # [nA, B] bool keep mask (False -> contributes nothing)
+    s2: int,  # number of stride-2 shifts per axis (static)
+) -> Array:
+    """Summed stride-2 patches per angle: [nA, s2, s2] f32 (x100 sums)."""
+    from jax._src import core as _core
+
+    if _core.trace_state_clean():
+        _roll_selfcheck()
+    return _patch_sums_stride2_jit(grid, ay, ax, ok, s2)
+
+
+def stride2_vmem_fits(
+    g: int, s2: int, budget_bytes: int = 14 * 1024 * 1024
+) -> bool:
+    """Whether the four bf16 parity subgrids (+ strips, padding) fit VMEM."""
+    rows, cols = _window(s2)
+    g2 = (g + 1) // 2
+    return (
+        4 * _round_up(g2 + rows, _ROW_ALIGN) * _round_up(g2 + cols, _COL_ALIGN) * 2
+        <= budget_bytes
+    )
+
+
 def vmem_fits(g: int, s: int, budget_bytes: int = 14 * 1024 * 1024) -> bool:
     """Whether the bf16 grid (+ landing strip, tile padding) fits VMEM.
 
