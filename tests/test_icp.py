@@ -257,3 +257,66 @@ def test_plicp_covariance_matches_finite_difference():
     assert np.allclose(cov, want_cov, rtol=0.1, atol=2e-9), (
         cov, want_cov,
     )
+
+
+def test_scan_orientations_wall_and_cluster_break():
+    """The cluster-bounded neighbourhood normal fit (CSM
+    ld_compute_orientation semantics): a straight wall yields the wall's
+    normal angle (mod pi) at every interior point, and a range jump
+    splits the fit so normals never blend across the discontinuity."""
+    from tpuslam.match.plicp import scan_orientations
+
+    # two parallel walls at x=2 (beams 0-39) and x=6 (beams 40-79),
+    # sampled by bearing: ranges jump at the seam
+    bear = np.linspace(-0.4, 0.4, 80)
+    xwall = np.where(np.arange(80) < 40, 2.0, 6.0)
+    r = xwall / np.cos(bear)
+    pts = jnp.asarray(
+        np.stack([r * np.cos(bear), r * np.sin(bear)], -1), jnp.float32
+    )
+    valid = jnp.ones(80, bool)
+    alpha, avalid = scan_orientations(pts, valid, 10, 0.25)
+    alpha = np.asarray(alpha)
+    avalid = np.asarray(avalid)
+    assert avalid.all()
+    # wall normal is the x axis: alpha = 0 mod pi
+    err = np.abs(np.sin(alpha))  # distance of alpha from {0, pi}
+    assert err.max() < 0.02, err.max()
+
+    # the seam is a cluster break: the fit at beam 39 must use only
+    # wall-1 points — with a huge clustering threshold the two walls
+    # merge into one cluster and the seam normals WOULD blend
+    alpha2, _ = scan_orientations(pts, valid, 10, 1e9)
+    err2 = np.abs(np.sin(np.asarray(alpha2)))
+    assert err2.max() > 0.2  # blended fit near the seam deviates
+    assert err.max() < 0.02  # cluster-bounded fit does not
+
+
+def test_plicp_ml_weights_knob():
+    import dataclasses as dc
+
+    pa = np.zeros(3)
+    pb = np.array([0.06, -0.04, 0.05])
+    pts_a, va = scan_points(pa, noise=0.003, seed=3)
+    pts_b, vb = scan_points(pb, noise=0.003, seed=4)
+    cfg = dc.replace(PL_CFG, use_ml_weights=1)
+    res = plicp(cfg, pts_b, vb, pts_a, va)
+    want = np.asarray(se2.relative(jnp.zeros(3), jnp.asarray(pb, jnp.float32)))
+    assert bool(res.valid)
+    assert np.allclose(np.asarray(res.pose), want, atol=0.03), res.pose
+
+
+def test_plicp_sigma_weights_do_not_move_the_pose():
+    """Uniform 1/sigma^2 scaling of the normal system cannot change the
+    GN argmin — the knob only calibrates covariance scale."""
+    import dataclasses as dc
+
+    pa = np.zeros(3)
+    pb = np.array([0.05, -0.03, 0.04])
+    pts_a, va = scan_points(pa, noise=0.002, seed=5)
+    pts_b, vb = scan_points(pb, noise=0.002, seed=6)
+    res0 = plicp(PL_CFG, pts_b, vb, pts_a, va)
+    res1 = plicp(dc.replace(PL_CFG, use_sigma_weights=1),
+                 pts_b, vb, pts_a, va)
+    assert np.allclose(np.asarray(res0.pose), np.asarray(res1.pose),
+                       atol=1e-5)

@@ -63,12 +63,14 @@ class PlicpConfig:
     epsilon_xy: float = 1e-6
     epsilon_theta: float = 1e-6
     max_correspondence_dist: float = 1.0
-    sigma: float = 0.010  # ignored (only used by CSM covariance path)
+    sigma: float = 0.010  # noise scale: covariance + sigma weights
     use_corr_tricks: int = 1  # ignored (TPU search is dense/batched anyway)
     restart: int = 0  # re-run from displaced guess on high error (implemented)
     restart_threshold_mean_error: float = 0.01
     restart_dt: float = 1.0
     restart_dtheta: float = 0.1
+    # scan clustering + neighbourhood normal fit (scan_orientations):
+    # feed the alpha test and the ml incidence weights
     clustering_threshold: float = 0.25
     orientation_neighbourhood: int = 20
     use_point_to_line_distance: int = 1
@@ -81,12 +83,13 @@ class PlicpConfig:
     outliers_remove_doubles: int = 1
     do_compute_covariance: int = 0
     debug_verify_tricks: int = 0  # ignored
-    use_ml_weights: int = 0  # ignored
-    use_sigma_weights: int = 0  # ignored
+    use_ml_weights: int = 0  # incidence cos^2 weighting (implemented)
+    use_sigma_weights: int = 0  # uniform 1/sigma^2 scale (implemented)
     # correspondence-search backend (not a CSM knob): "auto" runs the fused
     # VMEM Pallas kernel on TPU (ops/pallas_plicp.py) and the XLA path on
-    # CPU; "xla" / "pallas" force one.  The alpha test reorders the gating,
-    # so do_alpha_test=1 always takes the XLA path.
+    # CPU; "xla" / "pallas" force one.  do_alpha_test=1 and
+    # use_ml_weights=1 always take the XLA path (the former reorders the
+    # gating, the latter needs the matched point's fitted normal).
     correspondence_method: str = "auto"
 
     num_beams: int = 1500

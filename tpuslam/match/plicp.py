@@ -152,6 +152,68 @@ def visibility_mask(ref: Array, ref_valid: Array, viewpoint: Array) -> Array:
     return out
 
 
+def scan_orientations(
+    pts: Array,
+    valid: Array,
+    neighbourhood: int,
+    clustering_threshold: float,
+) -> tuple[Array, Array]:
+    """Per-point surface-normal angles (CSM ``ld_compute_orientation``).
+
+    CSM segments the scan into clusters wherever consecutive range
+    readings jump by more than ``clustering_threshold`` (simple
+    clustering; knob read at plicp_odometry.cc:120-121), then estimates
+    each point's surface orientation from up to ``neighbourhood``
+    same-cluster neighbours on each side (plicp_odometry.cc:124-125) and
+    marks the estimate invalid when fewer than 3 points support it.
+    tpu-native shape: the cluster ids are a cumsum over break flags and
+    the per-point line fit is a masked-moment PCA over a static
+    (2k+1)-wide roll-stencil — no gathers, fully vmappable.
+
+    Returns (alpha [B], alpha_valid [B]): ``alpha`` is the NORMAL angle
+    of the locally fitted line, defined modulo pi (every consumer — the
+    alpha test and the ml incidence weight — is invariant to the normal's
+    sign, so no toward-sensor disambiguation is needed)."""
+    b = pts.shape[0]
+    r = jnp.linalg.norm(pts, axis=-1)
+    jump = jnp.abs(r - jnp.roll(r, 1)) > clustering_threshold
+    brk = jump | ~valid | ~jnp.roll(valid, 1)
+    brk = brk.at[0].set(True)
+    cid = jnp.cumsum(brk.astype(jnp.int32))
+
+    idx = jnp.arange(b)
+    cnt = jnp.zeros(b, pts.dtype)
+    sx = jnp.zeros(b, pts.dtype)
+    sy = jnp.zeros(b, pts.dtype)
+    sxx = jnp.zeros(b, pts.dtype)
+    sxy = jnp.zeros(b, pts.dtype)
+    syy = jnp.zeros(b, pts.dtype)
+    for o in range(-neighbourhood, neighbourhood + 1):
+        m = (
+            valid
+            & jnp.roll(valid, -o)
+            & (cid == jnp.roll(cid, -o))
+            & (idx + o >= 0)
+            & (idx + o < b)
+        ).astype(pts.dtype)
+        x = jnp.roll(pts[:, 0], -o)
+        y = jnp.roll(pts[:, 1], -o)
+        cnt = cnt + m
+        sx = sx + m * x
+        sy = sy + m * y
+        sxx = sxx + m * x * x
+        sxy = sxy + m * x * y
+        syy = syy + m * y * y
+    d = jnp.maximum(cnt, 1.0)
+    cxx = sxx / d - (sx / d) ** 2
+    cxy = sxy / d - (sx / d) * (sy / d)
+    cyy = syy / d - (sy / d) ** 2
+    # principal direction of the local point cloud = tangent; normal +90deg
+    theta_line = 0.5 * jnp.arctan2(2.0 * cxy, cxx - cyy)
+    alpha = theta_line + 0.5 * math.pi
+    return alpha, valid & (cnt >= 3)
+
+
 def plicp(
     cfg: PlicpConfig,
     src: Array,
@@ -190,7 +252,24 @@ def plicp(
             and corr_vmem_fits(src.shape[0], n_ref)
             else "xla"
         )
-    use_fused = method == "pallas" and not cfg.do_alpha_test
+    # the alpha test reorders the doubles gating and the ml weights need
+    # the matched ref point's fitted normal — both pin the XLA path
+    use_fused = (
+        method == "pallas"
+        and not cfg.do_alpha_test
+        and not cfg.use_ml_weights
+    )
+
+    if cfg.do_alpha_test or cfg.use_ml_weights:
+        ref_alpha, ref_avalid = scan_orientations(
+            ref, ref_valid, cfg.orientation_neighbourhood,
+            cfg.clustering_threshold,
+        )
+    if cfg.do_alpha_test:
+        src_alpha, src_avalid = scan_orientations(
+            src, src_valid, cfg.orientation_neighbourhood,
+            cfg.clustering_threshold,
+        )
 
     def iteration(carry, _):
         pose, done = carry
@@ -210,32 +289,27 @@ def plicp(
 
         if cfg.do_alpha_test:
             # CSM's orientation compatibility test: discard correspondences
-            # whose source-surface normal differs from the reference line
-            # normal by more than the threshold.  Source normals come from
-            # the scan's neighboring points (same construction CSM uses).
-            nb = jnp.roll(src, -1, axis=0) - jnp.roll(src, 1, axis=0)
-            src_norm = jnp.stack([-nb[:, 1], nb[:, 0]], axis=-1)
-            src_norm = src_norm / jnp.maximum(
-                jnp.linalg.norm(src_norm, axis=-1, keepdims=True), 1e-9
+            # whose source-surface normal (rotated by the current pose)
+            # differs from the MATCHED reference point's normal by more
+            # than the threshold, modulo pi.  Both normals come from the
+            # cluster-bounded neighbourhood fit (scan_orientations) — the
+            # clustering_threshold / orientation_neighbourhood knobs act
+            # here.  Pairs where either fit is unsupported (< 3
+            # same-cluster neighbours) pass untested, as in CSM.
+            a_ref = jnp.dot(
+                oh1, ref_alpha, precision=jax.lax.Precision.HIGHEST
             )
-            c0, s0 = jnp.cos(pose[2]), jnp.sin(pose[2])
-            rn = jnp.stack(
-                [c0 * src_norm[:, 0] - s0 * src_norm[:, 1],
-                 s0 * src_norm[:, 0] + c0 * src_norm[:, 1]], axis=-1
-            )
-            # reference line normal via the one-hot selected line points
-            q1a = jnp.dot(oh1, ref, precision=jax.lax.Precision.HIGHEST)
-            q2a = jnp.dot(oh2, ref, precision=jax.lax.Precision.HIGHEST)
-            ta = q2a - q1a
-            ref_n = jnp.stack([-ta[:, 1], ta[:, 0]], axis=-1)
-            ref_n = ref_n / jnp.maximum(
-                jnp.linalg.norm(ref_n, axis=-1, keepdims=True), 1e-9
-            )
-            cosang = jnp.abs(jnp.sum(rn * ref_n, axis=-1))
+            av_ref = jnp.dot(
+                oh1, ref_avalid.astype(src.dtype),
+                precision=jax.lax.Precision.HIGHEST,
+            ) > 0.5
+            dalpha = (src_alpha + pose[2]) - a_ref
+            cosang = jnp.abs(jnp.cos(dalpha))  # |cos| = mod-pi distance
             thresh = math.cos(
                 math.radians(cfg.do_alpha_test_thresholdDeg)
             )
-            ok = ok & (cosang >= thresh)
+            both = src_avalid & av_ref
+            ok = ok & (~both | (cosang >= thresh))
 
         if cfg.outliers_remove_doubles:
             # keep only the closest src per ref point: columnwise min of the
@@ -249,11 +323,35 @@ def plicp(
 
         q1 = jnp.dot(oh1, ref, precision=jax.lax.Precision.HIGHEST)
         q2 = jnp.dot(oh2, ref, precision=jax.lax.Precision.HIGHEST)
-        return _finish_iteration(pose, done, cur, q1, q2, d1, ok)
 
-    def _finish_iteration(pose, done, cur, q1, q2, d1, ok):
+        factor = None
+        if cfg.use_ml_weights:
+            # PL-ICP's maximum-likelihood incidence weighting (the
+            # use_ml_weights knob, plicp_odometry.cc:179-180): a beam
+            # hitting a surface at incidence angle beta has its range
+            # noise stretched 1/cos(beta) along the surface normal, so
+            # the correspondence weight is cos^2(beta).  beta = matched
+            # ref normal (neighbourhood fit) minus the beam's world
+            # direction; pairs without a supported fit keep weight 1.
+            a_ref = jnp.dot(
+                oh1, ref_alpha, precision=jax.lax.Precision.HIGHEST
+            )
+            av_ref = jnp.dot(
+                oh1, ref_avalid.astype(src.dtype),
+                precision=jax.lax.Precision.HIGHEST,
+            ) > 0.5
+            beam = pose[2] + jnp.arctan2(src[:, 1], src[:, 0])
+            factor = jnp.where(
+                av_ref, jnp.cos(a_ref - beam) ** 2, 1.0
+            ).astype(src.dtype)
+        return _finish_iteration(pose, done, cur, q1, q2, d1, ok, factor)
+
+    def _finish_iteration(pose, done, cur, q1, q2, d1, ok, factor=None):
         """Residual, trim, and the GN/point-to-point update — shared by the
-        XLA and fused-Pallas correspondence paths."""
+        XLA and fused-Pallas correspondence paths.  ``factor`` carries the
+        optional per-correspondence ml weight (incidence cos^2); it scales
+        the normal system only — trim selection and the reported mean
+        error stay distance-based, as in CSM's compute_next_estimate."""
         r, n = _point_line_residual(cur, q1, q2)
         dist = jnp.abs(r)
 
@@ -277,6 +375,13 @@ def plicp(
         ok = ok & (dist <= jnp.maximum(jnp.minimum(thresh_perc, thresh_adap), 1e-9))
 
         w = (ok & src_valid).astype(src.dtype)
+        wsys = w if factor is None else w * factor
+        if cfg.use_sigma_weights:
+            # CSM scales each weight by 1/sigma_i^2; the node supplies no
+            # per-beam sigmas, so this is the uniform cfg.sigma — it leaves
+            # the GN argmin unchanged and only calibrates the covariance
+            # scale (which uses sigma explicitly in _covariance_at).
+            wsys = wsys / jnp.asarray(cfg.sigma**2, src.dtype)
         if cfg.use_point_to_line_distance:
             # GN on r = n.(R p + t - q1): J = [nx, ny, n.(dR/dth p)]
             c, s = jnp.cos(pose[2]), jnp.sin(pose[2])
@@ -286,8 +391,8 @@ def plicp(
             )  # d(R p)/dtheta
             jth = jnp.sum(n * drot, axis=-1)
             jac = jnp.concatenate([n, jth[:, None]], axis=-1)  # [B, 3]
-            h = jnp.einsum("bi,bj,b->ij", jac, jac, w)
-            g = jnp.einsum("bi,b,b->i", jac, r, w)
+            h = jnp.einsum("bi,bj,b->ij", jac, jac, wsys)
+            g = jnp.einsum("bi,b,b->i", jac, r, wsys)
             delta = -jnp.linalg.solve(h + 1e-9 * jnp.eye(3, dtype=h.dtype), g)
             new_pose = pose + delta
             new_pose = new_pose.at[2].set(se2.wrap_angle(new_pose[2]))
@@ -295,7 +400,7 @@ def plicp(
             # point-to-point fallback (use_point_to_line_distance = 0)
             from tpuslam.match.icp import rigid_fit_2d
 
-            delta_pose = rigid_fit_2d(cur, q1, w)
+            delta_pose = rigid_fit_2d(cur, q1, wsys)
             new_pose = se2.compose(delta_pose, pose)
             delta = new_pose - pose
 
