@@ -327,7 +327,8 @@ def test_unlinkable_loop_closure_is_skipped():
     assert len(long_edges) >= m.stats["loop_closures"]
 
 
-def _drive_batch(parallel, n=24, batch_size=8, seed=11, pipeline=False):
+def _drive_batch(parallel, n=24, batch_size=8, seed=11, pipeline=False,
+                 noise=(0.01, 0.01, 0.004)):
     import dataclasses
 
     rng = np.random.default_rng(seed)
@@ -345,7 +346,7 @@ def _drive_batch(parallel, n=24, batch_size=8, seed=11, pipeline=False):
         trues.append(true.copy())
         step = np.array([0.12, 0.0, 0.04])
         true = _np_compose(true, step)
-        odom = _np_compose(odom, step + rng.normal(0, [0.01, 0.01, 0.004]))
+        odom = _np_compose(odom, step + rng.normal(0, list(noise)))
     res = m.process_batch(scans, odoms, batch_size=batch_size,
                           parallel=parallel, pipeline=pipeline)
     assert all(r.processed for r in res)
@@ -371,6 +372,38 @@ def test_process_batch_parallel_matches_sequential():
     # a couple of fine-lattice cells per scan
     d = np.hypot(*(est_p[:, :2] - est_s[:, :2]).T)
     assert d.mean() < 0.08, d
+
+
+def test_process_batch_parallel_near_window_boundary():
+    """Throughput mode's documented validity bound: it is safe while the
+    odometry-only drift across ONE flush stays inside the +-0.15 m
+    correlation search half-window (_fused_parallel_steps docstring).
+    Drive it with odometry noisy enough that in-flush drift genuinely
+    approaches that bound and check the matcher still pulls every scan
+    back to truth."""
+    noise = (0.028, 0.028, 0.008)
+    _, est_p, true = _drive_batch(parallel=True, seed=4, noise=noise)
+
+    # fixture sanity: replay the same noise stream and confirm the
+    # worst odometry-only drift within a flush actually nears the
+    # window (> 0.10 m of the 0.15 m half-dimension) without leaving it
+    rng = np.random.default_rng(4)
+    drift, worst = np.zeros(2), 0.0
+    for i in range(24):
+        if i % 8 == 0:
+            drift = np.zeros(2)
+        drift = drift + rng.normal(0, list(noise))[:2]
+        worst = max(worst, float(np.hypot(*drift)))
+    assert 0.10 < worst < 0.15, worst
+
+    err_p = np.hypot(*(est_p[:, :2] - true[:, :2]).T)
+    assert err_p[1:].mean() < 0.08, err_p
+    # at the edge of the validity regime correction degrades GRACEFULLY:
+    # a scan whose prediction drifted d off truth can retain up to
+    # ~(d - half_window) + one anchor error of residual, but must never
+    # do worse than raw odometry or walk off the window scale entirely
+    assert err_p.max() < worst + 0.05, (err_p.max(), worst)
+    assert err_p.max() < 0.25, err_p
 
 
 def test_process_batch_pipelined_matches_default():

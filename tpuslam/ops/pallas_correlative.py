@@ -35,6 +35,7 @@ rows [G, G+S) by setting ay=G, ax=0.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -309,10 +310,21 @@ def patch_sums_stride2(
     return _patch_sums_stride2_jit(grid, ay, ax, ok, s2)
 
 
-def stride2_vmem_fits(
-    g: int, s2: int, budget_bytes: int = 14 * 1024 * 1024
-) -> bool:
+def vmem_budget() -> int:
+    """Per-core VMEM bytes the resident grid block may use.
+
+    Every current TPU generation (v2-v5e) carries ~16 MB of VMEM per
+    core; the v5e accepts single resident blocks up to ~16 MB (measured)
+    and 14 MB leaves room for the patch accumulator and index arrays.
+    ``TPUSLAM_VMEM_BUDGET`` (bytes) overrides for an atypical part —
+    under-sizing it only shifts ``response_method='auto'`` to the
+    XLA fft/patch paths, never changes results."""
+    return int(os.environ.get("TPUSLAM_VMEM_BUDGET", 14 * 1024 * 1024))
+
+
+def stride2_vmem_fits(g: int, s2: int, budget_bytes: int = 0) -> bool:
     """Whether the four bf16 parity subgrids (+ strips, padding) fit VMEM."""
+    budget_bytes = budget_bytes or vmem_budget()
     rows, cols = _window(s2)
     g2 = (g + 1) // 2
     return (
@@ -321,11 +333,9 @@ def stride2_vmem_fits(
     )
 
 
-def vmem_fits(g: int, s: int, budget_bytes: int = 14 * 1024 * 1024) -> bool:
-    """Whether the bf16 grid (+ landing strip, tile padding) fits VMEM.
-
-    Budget: the v5e accepts single resident blocks up to ~16 MB (measured);
-    14 MB leaves room for the patch accumulator and index arrays."""
+def vmem_fits(g: int, s: int, budget_bytes: int = 0) -> bool:
+    """Whether the bf16 grid (+ landing strip, tile padding) fits VMEM."""
+    budget_bytes = budget_bytes or vmem_budget()
     rows, cols = _window(s)
     return (
         _round_up(g + rows, _ROW_ALIGN) * _round_up(g + cols, _COL_ALIGN) * 2
