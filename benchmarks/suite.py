@@ -278,6 +278,51 @@ def bench_karto_pipeline(n_scans=256):
     emit("karto_scans_per_sec", max(runs), "scans/s", windows=runs)
 
 
+def bench_karto_online(n_scans=96):
+    """Online-mode throughput: ONE scan per flush (batch_size=1), i.e.
+    the per-scan latency path a live robot would drive.  pipeline=True
+    dispatches flush k+1 before fetching flush k, overlapping the
+    tunnel round-trip with device compute (the two-deep pipelined
+    flush); the non-pipelined number is recorded in windows[0] so the
+    overlap win stays visible in the artifact."""
+    from tpuslam.core.config import KartoConfig
+    from tpuslam.core.scan import make_scan
+    from tpuslam.io.simulate import simulate_scan, world_with_boxes
+    from tpuslam.models.karto import KartoMapper
+
+    segs = world_with_boxes()
+    cfg = KartoConfig(
+        num_beams=180, use_scan_range=6.0, minimum_travel_distance=0.0,
+        minimum_travel_heading=0.0, minimum_time_interval=0.0,
+        scan_buffer_size=20, scan_buffer_maximum_scan_distance=10.0,
+        correlation_search_space_dimension=0.32,
+        correlation_search_space_resolution=0.02,
+        correlation_search_space_smear_deviation=0.04,
+        do_loop_closing=False,
+    )
+
+    def scan_at(x):
+        r, amin, ainc = simulate_scan(
+            segs, np.array([x, 0.0, 0.0]), num_beams=180, max_range=30.0
+        )
+        return make_scan(r, angle_min=amin, angle_increment=ainc,
+                         range_min=0.1, range_max=30.0, num_beams=180)
+
+    scans = [scan_at(0.002 * i) for i in range(n_scans + 16)]
+    odoms = [np.array([0.002 * i, 0.0, 0.0]) for i in range(n_scans + 16)]
+    rates = {}
+    for pipe in (False, True):
+        mapper = KartoMapper(cfg, max_scans=2 * n_scans + 64)
+        mapper.process_batch(scans[:16], odoms[:16], batch_size=1,
+                             pipeline=pipe)  # warm/compile
+        t0 = time.perf_counter()
+        mapper.process_batch(scans[16:], odoms[16:], batch_size=1,
+                             pipeline=pipe)
+        rates[pipe] = n_scans / (time.perf_counter() - t0)
+    emit("karto_online_scans_per_sec", rates[True], "scans/s",
+         windows=[rates[False], rates[True]])
+
+
 def bench_karto_realistic(n_scans=256):
     """Honest end-to-end karto number: a REALISTIC circuit — rotation at
     every step, odometry noise, loop closing ON — in batch mode.  The
@@ -470,6 +515,7 @@ def main():
     bench_correlative(iters)
     bench_loop_match(iters)
     bench_karto_pipeline(64 if args.quick else 256)
+    bench_karto_online(32 if args.quick else 96)
     bench_karto_realistic(96 if args.quick else 256)
     bench_grid(64 if args.quick else 256, iters)
     bench_features(batch, iters)
