@@ -88,6 +88,13 @@ class CorrelativeSpec:
     # m_NumberOfRangeReadings does) — padding beams would deflate
     # responses.
     count_invalid_in_denominator: bool = True
+    # the lidar's TRUE beam count (the reference's m_NumberOfRangeReadings).
+    # None = the static beam axis length.  Set this whenever scans are
+    # PADDED beyond the lidar's beam count (make_scan num_beams > the real
+    # reading count): under count_invalid_in_denominator the padding would
+    # otherwise inflate the denominator and deflate every response below
+    # the tuned accept thresholds.
+    num_readings: int | None = None
     # response-surface computation:
     # - "patch" sums per-point grid slices (dynamic-slice gathers; the only
     #   layout that is fast on CPU),
@@ -350,7 +357,7 @@ def _correlate(
     # whose whole patch leaves the grid are dropped (the reference's margin
     # sizing guarantees in-range points never do, Mapper.cpp:150-156).
     if spec.count_invalid_in_denominator:
-        denom = jnp.float32(valid.shape[0])
+        denom = jnp.float32(spec.num_readings or valid.shape[0])
     else:
         denom = jnp.maximum(jnp.sum(valid), 1).astype(jnp.float32)
     base_x = jnp.floor((center_pose[0] - origin[0]) / res + 0.5).astype(
@@ -424,17 +431,23 @@ def _correlate(
                 & (dxc[-1] <= size - 1)
             )
 
+            # both branches return the 0.01-scaled surface and the /denom
+            # happens OUTSIDE the cond: with `* 0.01 / denom` adjacent in
+            # one computation, XLA's algebraic simplifier folds them into
+            # `* (0.01/denom)` — a 1-ulp deviation from the fft/patch
+            # paths' separated mul..div (caught by tests_tpu at the 8 m
+            # loop spec).  The cond boundary pins the op order.
             def _stride2(_):
                 p2 = patch_sums_stride2(grid, ay + dyc[0], ax + dxc[0], ok, ny)
-                return p2 * 0.01 / denom
+                return p2 * 0.01
 
             def _full(_):
                 ay_s = jnp.where(ok, ay, g)
                 ax_s = jnp.where(ok, ax, 0)
                 patches = patch_sums_pallas(grid, ay_s, ax_s, size) * 0.01
-                return patches[:, dyc[:, None], dxc[None, :]] / denom
+                return patches[:, dyc[:, None], dxc[None, :]]
 
-            resp = jax.lax.cond(uniform, _stride2, _full, None)
+            resp = jax.lax.cond(uniform, _stride2, _full, None) / denom
         else:
             # dropped points read the kernel's zero landing strip at row g
             ay = jnp.where(ok, ay, g)
