@@ -376,3 +376,33 @@ def test_separable_smear_bit_identical_to_dense():
             np.round(sep * 100.0), np.round(dense * 100.0)
         )
         assert float(np.max(np.abs(sep - dense))) <= 1.2e-7
+
+
+def test_num_readings_denominator_ignores_padding():
+    """Padding beams beyond the lidar's reading count must not deflate
+    responses: spec.num_readings pins the reference-exact denominator to
+    m_NumberOfRangeReadings (Mapper.cpp:819-856) regardless of the static
+    beam-axis length."""
+    import dataclasses as dc
+
+    true = np.zeros(3)
+    lpts, lv = scan_pts(true)
+    bpts, bv = world_pts(true)
+    b = int(np.asarray(lpts).shape[0])
+    pad = 72
+    lpts_p = jnp.asarray(
+        np.concatenate([np.asarray(lpts), np.zeros((pad, 2), np.float32)])
+    )
+    lv_p = jnp.asarray(np.concatenate([np.asarray(lv), np.zeros(pad, bool)]))
+    center = jnp.asarray([0.05, 0.05, 0.0], jnp.float32)
+
+    spec_exact = dc.replace(SPEC, count_invalid_in_denominator=True)
+    r_ref = match_scan(spec_exact, center, lpts, lv, bpts[None], bv[None])
+    # without the knob, padding deflates the response by b/(b+pad)
+    r_bad = match_scan(spec_exact, center, lpts_p, lv_p, bpts[None], bv[None])
+    assert float(r_bad.response) < float(r_ref.response) * 0.9
+    # with num_readings pinned, the padded scan matches bit-for-bit
+    spec_pinned = dc.replace(spec_exact, num_readings=b)
+    r_fix = match_scan(spec_pinned, center, lpts_p, lv_p, bpts[None], bv[None])
+    assert float(r_fix.response) == float(r_ref.response)
+    assert np.array_equal(np.asarray(r_fix.pose), np.asarray(r_ref.pose))

@@ -320,3 +320,23 @@ def test_plicp_sigma_weights_do_not_move_the_pose():
                  pts_b, vb, pts_a, va)
     assert np.allclose(np.asarray(res0.pose), np.asarray(res1.pose),
                        atol=1e-5)
+
+
+def test_plicp_stats_describe_returned_pose():
+    """mean_error/num_inliers come from the loop's CONFIRM pass at the
+    RETURNED pose (CSM report-at-converged-pose semantics) — re-matching
+    from the returned pose must reproduce them (regression: the early-exit
+    while_loop once reported stats one GN update behind the pose)."""
+    pa = np.array([0.0, 0.0, 0.0])
+    pb = np.array([0.1, -0.06, 0.08])
+    pts_a, va = scan_points(pa, noise=0.002, seed=11)
+    pts_b, vb = scan_points(pb, noise=0.002, seed=12)
+    res = plicp(PL_CFG, pts_b, vb, pts_a, va)
+    assert bool(res.valid)
+    res2 = plicp(PL_CFG, pts_b, vb, pts_a, va, init_pose=res.pose)
+    # starting at the converged pose: same fixed point, same stats
+    assert np.allclose(np.asarray(res2.pose), np.asarray(res.pose), atol=1e-5)
+    assert int(res2.num_inliers) == int(res.num_inliers)
+    assert np.isclose(
+        float(res2.mean_error), float(res.mean_error), rtol=1e-4, atol=1e-7
+    )

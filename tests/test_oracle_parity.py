@@ -325,3 +325,68 @@ def test_pipeline_parity_loop_closure():
     # solver spreads it); the bulk of the trajectory must agree to mm
     assert dp.max() < 1.5 * CFG.correlation_search_space_resolution, dp.max()
     assert np.median(dp) < 5e-3, np.median(dp)
+
+
+def test_hector_gn_oracle_parity():
+    """match/hector.py vs the float64 port of the reference GN matcher
+    (ScanMatcher.h:62-140 + OccGridMapUtil.h:77-228): same probability
+    lattice, same map-cell points, same iteration budget (the oracle's
+    matchData runs maxIterations+1 estimateTransformationLogLh calls) —
+    poses must agree to f32 accumulation tolerance, and the reported
+    H-as-covariance must match relatively."""
+    import jax.numpy as jnp
+
+    from tpuslam.core.config import HectorConfig
+    from tpuslam.match.hector import match_level
+    from tpuslam.models import hector_slam
+    from tpuslam.ops.bilinear import prob_from_log_odds
+    from tpuslam.oracle.hector import OracleHectorMatcher
+
+    cfg = HectorConfig(
+        map_size=256, map_resolution=0.05, num_beams=181, ray_steps=256
+    )
+    segs = rect_room(8.0614, 6.1402)
+
+    def scan_at(pose):
+        r, amin, ainc = simulate_scan(
+            segs, pose, num_beams=181, max_range=20.0,
+            noise_std=0.004, rng=np.random.default_rng(17),
+        )
+        return make_scan(r, angle_min=amin, angle_increment=ainc,
+                         range_min=0.1, range_max=20.0, num_beams=181)
+
+    st = hector_slam.init_state(cfg)
+    for p in [np.zeros(3), np.array([0.25, 0.15, 0.2]),
+              np.array([-0.25, -0.15, -0.2])]:
+        st = st._replace(pose=jnp.asarray(p, jnp.float32))
+        st, _ = hector_slam.step(cfg, st, scan_at(p),
+                                 map_without_matching=True)
+
+    specs = hector_slam.make_specs(cfg)
+    lvl = 0
+    grid = np.asarray(prob_from_log_odds(st.log_odds[lvl]), np.float32)
+
+    true = np.array([0.07, -0.05, 0.06])
+    pts, valid = scan_to_points(scan_at(true))
+    pts_map = np.asarray(pts, np.float32) / cfg.map_resolution
+    vmask = np.asarray(valid)
+    guess_world = jnp.asarray(true + [0.03, -0.02, 0.025], jnp.float32)
+    pose_map0 = specs[lvl].world_pose_to_map(guess_world)
+
+    n_iter = 6
+    got_pose, got_h, _ = match_level(
+        jnp.asarray(grid), jnp.asarray(pts_map), jnp.asarray(vmask),
+        pose_map0, num_iters=n_iter, window=None,
+    )
+    oracle = OracleHectorMatcher(grid)  # same f32 lattice, f64 arithmetic
+    want_pose, want_h = oracle.match(
+        np.asarray(pose_map0, np.float64), pts_map[vmask],
+        max_iterations=n_iter - 1,
+    )
+
+    got_pose = np.asarray(got_pose, np.float64)
+    assert np.allclose(got_pose[:2], want_pose[:2], atol=5e-3), (
+        got_pose, want_pose
+    )  # cells (= 0.25 mm at 5 cm resolution)
+    assert abs(got_pose[2] - want_pose[2]) < 5e-5
+    assert np.allclose(np.asarray(got_h, np.float64), want_h, rtol=5e-4)

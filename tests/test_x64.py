@@ -48,3 +48,24 @@ def test_se2_and_solver_float64(x64):
     assert float(stats.final_cost) < float(stats.initial_cost)
     got = np.asarray(opt)[:3]
     assert np.allclose(got[:, 0], [0, 1, 2], atol=1e-6)
+
+
+def test_plicp_float64(x64):
+    """PL-ICP runs end-to-end in float64 (the oracle cross-check dtype):
+    the early-exit while_loop carry must be dtype-stable (regression: the
+    stats slots were pinned f32 while the body returned src.dtype)."""
+    from tpuslam.core.config import PlicpConfig
+    from tpuslam.match.plicp import plicp
+
+    th = np.linspace(0, 2 * np.pi, 180, endpoint=False)
+    wall = np.stack([2.0 * np.cos(th), 1.5 * np.sin(th)], -1)
+    ref = jnp.asarray(wall, jnp.float64)
+    dx = np.array([0.03, -0.02, 0.04])
+    c, s = np.cos(dx[2]), np.sin(dx[2])
+    src = jnp.asarray((wall - dx[:2]) @ np.array([[c, -s], [s, c]]), jnp.float64)
+    v = jnp.ones(180, bool)
+    cfg = PlicpConfig(num_beams=180, do_compute_covariance=1)
+    res = plicp(cfg, src, v, ref, v)
+    assert res.pose.dtype == jnp.float64
+    assert bool(res.valid)
+    assert res.covariance.dtype == jnp.float64

@@ -14,12 +14,20 @@ The suite skips itself (rather than failing) when no accelerator is
 attached so a plain ``pytest`` from a CPU-only box stays green.
 """
 
+import os
+
 import jax
 import pytest
 
 # match production: persistent compile cache (first compile of the big
 # loop-window programs is ~30 s; cached reruns are instant)
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/tpuslam-xla")
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get(
+        "TPUSLAM_COMPILE_CACHE",
+        os.path.expanduser("~/.cache/tpuslam-xla"),
+    ),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 collect_ignore_glob: list[str] = []

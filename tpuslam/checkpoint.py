@@ -16,12 +16,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _keypaths(tree) -> list[str]:
+    """Per-leaf key-path strings ('.pose', '[3]', \"['a'].x\", ...) — the
+    structure manifest.  Key paths are semantic (field/key/index names),
+    unlike str(PyTreeDef) whose repr format is not stable across jax
+    releases (a version upgrade must not invalidate old checkpoints)."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    return [jax.tree_util.keystr(kp) for kp, _ in flat]
+
+
 def save_pytree(path: str | os.PathLike, tree) -> None:
     """Save any pytree-of-arrays (engine states, graphs) to one npz."""
     leaves, treedef = jax.tree.flatten(tree)
     arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
-    arrays["__treedef__"] = np.frombuffer(
-        json.dumps(str(treedef)).encode(), dtype=np.uint8
+    arrays["__keypaths__"] = np.frombuffer(
+        json.dumps(_keypaths(tree)).encode(), dtype=np.uint8
     )
     np.savez_compressed(path, **arrays)
 
@@ -39,7 +48,25 @@ def load_pytree(path: str | os.PathLike, like):
         raise ValueError(
             f"checkpoint has {n} leaves; template expects {len(leaves_like)}"
         )
-    if "__treedef__" in z.files:
+    if "__keypaths__" in z.files:
+        stored = json.loads(bytes(z["__keypaths__"]).decode())
+        mine = _keypaths(like)
+        if stored != mine:
+            diff = next(
+                (i for i, (a, b) in enumerate(zip(stored, mine)) if a != b),
+                min(len(stored), len(mine)),
+            )
+            raise ValueError(
+                "checkpoint structure manifest does not match the template "
+                f"pytree (first difference at leaf {diff}: "
+                f"stored={stored[diff] if diff < len(stored) else '<none>'} "
+                f"template={mine[diff] if diff < len(mine) else '<none>'})"
+            )
+    elif "__treedef__" in z.files:
+        # legacy (pre key-path manifest) checkpoints stored str(PyTreeDef);
+        # that repr is only comparable under the same jax version, so the
+        # strict check is kept for same-runtime resumes (its original
+        # scope) — new checkpoints carry the version-stable __keypaths__
         stored = json.loads(bytes(z["__treedef__"]).decode())
         if stored != str(treedef):
             raise ValueError(

@@ -208,9 +208,14 @@ class KartoConfig:
     # | "pallas"
     response_method: str = "auto"
     # response normalization (see CorrelativeSpec): True = reference-exact
-    # GetResponse denominator (every raw beam counts, Mapper.cpp:819-856);
-    # requires num_beams == the lidar's true beam count
+    # GetResponse denominator (every raw beam counts, Mapper.cpp:819-856)
     count_invalid_in_denominator: bool = True
+    # the lidar's TRUE beam count (reference m_NumberOfRangeReadings).
+    # None = num_beams.  MUST be set when scans are padded (num_beams
+    # larger than the lidar's reading count) — otherwise the padded beams
+    # inflate the reference-exact response denominator and deflate every
+    # response below the tuned accept thresholds (0.35/0.45/0.6...)
+    num_range_readings: int | None = None
 
     # backend
     use_back_end: bool = True

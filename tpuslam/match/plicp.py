@@ -375,20 +375,19 @@ def plicp(
         ok = ok & (dist <= jnp.maximum(jnp.minimum(thresh_perc, thresh_adap), 1e-9))
 
         w = (ok & src_valid).astype(src.dtype)
+        # CSM's use_sigma_weights scales every weight by 1/sigma_i^2; the
+        # node supplies no per-beam sigmas, so that is the uniform
+        # cfg.sigma — it leaves the GN argmin unchanged, and the reported
+        # covariance applies sigma^2 explicitly below.  The normal system
+        # h is therefore built from the UNSCALED weights in both cases.
         wsys = w if factor is None else w * factor
-        if cfg.use_sigma_weights:
-            # CSM scales each weight by 1/sigma_i^2; the node supplies no
-            # per-beam sigmas, so this is the uniform cfg.sigma — it leaves
-            # the GN argmin unchanged and only calibrates the covariance
-            # scale (which uses sigma explicitly in _covariance_at).
-            wsys = wsys / jnp.asarray(cfg.sigma**2, src.dtype)
+        c, s = jnp.cos(pose[2]), jnp.sin(pose[2])
+        px, py = src[:, 0], src[:, 1]
+        drot = jnp.stack(
+            [-s * px - c * py, c * px - s * py], axis=-1
+        )  # d(R p)/dtheta
         if cfg.use_point_to_line_distance:
             # GN on r = n.(R p + t - q1): J = [nx, ny, n.(dR/dth p)]
-            c, s = jnp.cos(pose[2]), jnp.sin(pose[2])
-            px, py = src[:, 0], src[:, 1]
-            drot = jnp.stack(
-                [-s * px - c * py, c * px - s * py], axis=-1
-            )  # d(R p)/dtheta
             jth = jnp.sum(n * drot, axis=-1)
             jac = jnp.concatenate([n, jth[:, None]], axis=-1)  # [B, 3]
             h = jnp.einsum("bi,bj,b->ij", jac, jac, wsys)
@@ -397,50 +396,63 @@ def plicp(
             new_pose = pose + delta
             new_pose = new_pose.at[2].set(se2.wrap_angle(new_pose[2]))
         else:
-            # point-to-point fallback (use_point_to_line_distance = 0)
+            # point-to-point fallback (use_point_to_line_distance = 0);
+            # h = sum_i w_i J_i^T J_i over the 2-row residual
+            # R p + t - q1 with J_i = [[1,0,dx],[0,1,dy]], d = d(Rp)/dth
             from tpuslam.match.icp import rigid_fit_2d
 
             delta_pose = rigid_fit_2d(cur, q1, wsys)
             new_pose = se2.compose(delta_pose, pose)
             delta = new_pose - pose
+            sw = jnp.sum(wsys)
+            swd = jnp.einsum("b,bi->i", wsys, drot)
+            swdd = jnp.einsum("b,bi,bi->", wsys, drot, drot)
+            h = jnp.zeros((3, 3), src.dtype)
+            h = h.at[0, 0].set(sw).at[1, 1].set(sw)
+            h = h.at[0, 2].set(swd[0]).at[2, 0].set(swd[0])
+            h = h.at[1, 2].set(swd[1]).at[2, 1].set(swd[1])
+            h = h.at[2, 2].set(swdd)
 
         conv = (jnp.max(jnp.abs(delta[:2])) < cfg.epsilon_xy) & (
             jnp.abs(delta[2]) < cfg.epsilon_theta
         )
         new_pose = jnp.where(done, pose, new_pose)
         mean_err = jnp.sum(dist * w) / jnp.maximum(jnp.sum(w), 1.0)
-        return (new_pose, done | conv), (jnp.sum(w), mean_err)
+        return (new_pose, done | conv), (jnp.sum(w), mean_err, h)
 
     def _run_iterations(start_pose):
         """CSM's early exit (epsilon_xy/theta) as a while_loop: converged
         pairs stop PAYING for further iterations instead of freezing
         through them — the correspondence kernel dominates the iteration
         cost, and typical matches converge in 3-5 of the 10 budgeted
-        iterations.  Final values are identical to the frozen-scan
-        formulation (post-convergence iterations recompute the same
-        state); under vmap the loop runs until every pair in the batch
-        converges, with converged pairs frozen by the ``done`` mask."""
+        iterations.  After convergence is detected the loop runs exactly
+        ONE more (pose-frozen) iteration so the reported stats and normal
+        system describe the RETURNED pose — matching both CSM's
+        report-at-converged-pose semantics and the frozen-scan
+        formulation's final values.  Under vmap the loop runs until every
+        pair in the batch confirms, converged pairs frozen by ``done``."""
 
         def cond(carry):
-            _, done, it, _, _ = carry
-            return (it < cfg.max_iterations) & ~done
+            _, _, confirmed, it, _, _, _ = carry
+            return (it < cfg.max_iterations) & ~confirmed
 
         def body(carry):
-            pose, done, it, _, _ = carry
-            (new_pose, new_done), (n_w, mean_err) = iteration(
+            pose, done, _, it, _, _, _ = carry
+            (new_pose, new_done), (n_w, mean_err, h) = iteration(
                 (pose, done), None
             )
-            return (new_pose, new_done, it + 1, n_w, mean_err)
+            return (new_pose, new_done, done, it + 1, n_w, mean_err, h)
 
-        pose, _, _, n_last, err_last = jax.lax.while_loop(
+        pose, _, _, _, n_last, err_last, h_last = jax.lax.while_loop(
             cond,
             body,
-            (start_pose, jnp.zeros((), bool), jnp.int32(0),
-             jnp.zeros((), jnp.float32), jnp.zeros((), src.dtype)),
+            (start_pose, jnp.zeros((), bool), jnp.zeros((), bool),
+             jnp.int32(0), jnp.zeros((), src.dtype),
+             jnp.zeros((), src.dtype), jnp.zeros((3, 3), src.dtype)),
         )
-        return pose, n_last, err_last
+        return pose, n_last, err_last, h_last
 
-    pose, n_last, err_last = _run_iterations(init_pose)
+    pose, n_last, err_last, h_last = _run_iterations(init_pose)
 
     if cfg.restart:
         # CSM restart semantics (icp_loop's restart knobs, surfaced by
@@ -453,18 +465,19 @@ def plicp(
                 [cfg.restart_dt, cfg.restart_dt, cfg.restart_dtheta],
                 init_pose.dtype,
             )
-            p2, n2, e2 = _run_iterations(guess2)
+            p2, n2, e2, h2 = _run_iterations(guess2)
             better = e2 < err_last
             return (
                 jnp.where(better, p2, pose),
                 jnp.where(better, n2, n_last),
                 jnp.where(better, e2, err_last),
+                jnp.where(better, h2, h_last),
             )
 
-        pose, n_last, err_last = jax.lax.cond(
+        pose, n_last, err_last, h_last = jax.lax.cond(
             err_last > cfg.restart_threshold_mean_error,
             do_restart,
-            lambda _: (pose, n_last, err_last),
+            lambda _: (pose, n_last, err_last, h_last),
             None,
         )
 
@@ -482,10 +495,14 @@ def plicp(
         # CSM compute_covariance_exact analog (surfaced by the
         # do_compute_covariance knob, plicp_odometry.cc:373-387): under
         # iid point noise sigma^2 the estimate covariance of the
-        # point-to-line least squares is sigma^2 * inv(J^T W J) at the
-        # converged pose.  One extra correspondence pass at `pose` builds
-        # the final normal system (static knob: compiles away when off).
-        cov = _covariance_at(cfg, pose, src, src_valid, ref, ref_valid)
+        # least squares is sigma^2 * inv(J^T W J) at the converged pose.
+        # h_last is the normal system of the loop's CONFIRM pass — built
+        # at the returned pose with the exact weighting (trim, adaptive
+        # cut, doubles, alpha test, ml factors) that produced it, so the
+        # covariance describes the same system as the estimate.
+        cov = jnp.asarray(cfg.sigma**2, src.dtype) * jnp.linalg.inv(
+            h_last + 1e-9 * jnp.eye(3, dtype=src.dtype)
+        )
         cov = jnp.where(valid, cov, jnp.eye(3, dtype=src.dtype) * 1e6)
     else:
         cov = jnp.eye(3, dtype=src.dtype)
@@ -495,33 +512,6 @@ def plicp(
         mean_error=err_last,
         num_inliers=n_last.astype(jnp.int32),
         covariance=cov,
-    )
-
-
-def _covariance_at(cfg, pose, src, src_valid, ref, ref_valid):
-    """J^T W J of the point-to-line system at ``pose`` → sigma^2 H^-1."""
-    cur = se2.transform_points(pose, src)
-    oh1, oh2, d1, ok = _correspondences(cur, src_valid, ref, ref_valid)
-    ok = ok & (d1 < cfg.max_correspondence_dist**2)
-    q1 = jnp.dot(oh1, ref, precision=jax.lax.Precision.HIGHEST)
-    q2 = jnp.dot(oh2, ref, precision=jax.lax.Precision.HIGHEST)
-    r, n = _point_line_residual(cur, q1, q2)
-    dist = jnp.abs(r)
-    n_ok = jnp.sum(ok)
-    k = jnp.clip(
-        (n_ok.astype(jnp.float32) * cfg.outliers_maxPerc).astype(jnp.int32),
-        0, dist.shape[0] - 1,
-    )
-    ok = ok & (dist <= jnp.maximum(_kth_smallest(dist, ok, k), 1e-9))
-    w = (ok & src_valid).astype(src.dtype)
-    c, s = jnp.cos(pose[2]), jnp.sin(pose[2])
-    px, py = src[:, 0], src[:, 1]
-    drot = jnp.stack([-s * px - c * py, c * px - s * py], axis=-1)
-    jth = jnp.sum(n * drot, axis=-1)
-    jac = jnp.concatenate([n, jth[:, None]], axis=-1)  # [B, 3]
-    h = jnp.einsum("bi,bj,b->ij", jac, jac, w)
-    return cfg.sigma**2 * jnp.linalg.inv(
-        h + 1e-9 * jnp.eye(3, dtype=h.dtype)
     )
 
 

@@ -317,6 +317,7 @@ class KartoMapper:
             use_response_expansion=cfg.use_response_expansion,
             response_method=cfg.response_method,
             count_invalid_in_denominator=cfg.count_invalid_in_denominator,
+            num_readings=cfg.num_range_readings,
         )
         self.loop_spec = CorrelativeSpec(
             resolution=cfg.loop_search_space_resolution,
@@ -333,6 +334,7 @@ class KartoMapper:
             use_response_expansion=cfg.use_response_expansion,
             response_method=cfg.response_method,
             count_invalid_in_denominator=cfg.count_invalid_in_denominator,
+            num_readings=cfg.num_range_readings,
         )
         self._sharded_loop_match = None
         if loop_mesh is not None:
@@ -804,11 +806,14 @@ class KartoMapper:
 
         Semantics vs scan-by-scan :meth:`process` (documented deltas, all
         bounded by one batch):
-        - within a batch, the running chain a scan matches against is the
-          last ``scan_buffer_size`` accepted scans by COUNT, and chain poses
-          are the raw MATCHED poses (weighted-mean fusion, span-rule window
-          trimming, and loop-closure corrections apply on the host after the
-          device batch, so they take effect from the next batch on);
+        - within a batch, the running chain a scan matches against applies
+          the reference's count cap AND spatial span rule
+          (Mapper.h:1356-1385), with span evictions decided on
+          odometry-PREDICTED positions for scans whose matches are not yet
+          on the host; chain poses are the raw MATCHED poses
+          (weighted-mean fusion and loop-closure corrections apply on the
+          host after the device batch, so they take effect from the next
+          batch on);
         - gating (HasMovedEnough) is odometry/time-only (as the reference's,
           Mapper.cpp:2087-2120) and is applied exactly, per scan;
         - response expansion (Mapper.cpp:242-272) applies as a host-side
@@ -833,9 +838,10 @@ class KartoMapper:
         on tunneled backends at small batch sizes).  Batch k+1's chain
         poses for batch-k scans come from the device-resident matched
         poses; host-side corrections (weighted-mean fusion, loop-closure
-        writebacks) land one flush later than in the unpipelined path —
-        the same class of bounded deferral as the in-batch semantics
-        above, now spanning two flushes.
+        writebacks, and the response-expansion retry's corrected poses)
+        land one flush later than in the unpipelined path — the same
+        class of bounded deferral as the in-batch semantics above, now
+        spanning two flushes.
         """
         cfg = self.cfg
         n_in = len(scans)
@@ -879,31 +885,78 @@ class KartoMapper:
             running = self.running_by_sensor.setdefault(sensor, [])
             if inflight:
                 prev_odom = inflight["odom_last"]
-                prior_ids = running + inflight["sids"]
             else:
                 last_id = self.last_by_sensor[sensor]
                 prev_odom = self.records[last_id].odom_pose
-                prior_ids = list(running)
 
             batch = _stack_scans(tuple(scans[i] for i in pend))
             deltas = np.zeros((k, 3), np.float32)
             for j, i in enumerate(pend):
                 deltas[j] = _np_relative(prev_odom, odom_poses[i])
                 prev_odom = odom_poses[i]
+
+            # Predicted matched poses (odometry-chained) for every scan of
+            # this flush: they stand in for the not-yet-fetched matches in
+            # the span-rule simulation below, and are reused by the NEXT
+            # dispatch while this flush is still in flight (pipeline=True).
+            if inflight:
+                prev_pose = inflight["pred_poses"][-1]
+                pred_prior = dict(
+                    zip(inflight["sids"], inflight["pred_poses"])
+                )
+            else:
+                prev_pose = np.asarray(
+                    self.poses[self.last_by_sensor[sensor]], np.float64
+                )
+                pred_prior = {}
+            pred_poses = []
+            for j in range(k):
+                prev_pose = _np_compose(prev_pose, deltas[j])
+                pred_poses.append(prev_pose.copy())
+
+            def _pos(s: int) -> np.ndarray:
+                """Barycenter of scan s — exact for finished scans, the
+                odometry-predicted sensor position for in-flight/in-batch
+                ones (their points live only on the device)."""
+                if s in pred_prior:
+                    return pred_prior[s][:2]
+                if s >= sid0:
+                    return pred_poses[s - sid0][:2]
+                return self._barycenter(s)
+
+            # Running-window simulation (AddRunningScan, Mapper.h:1356-1385):
+            # the chain each in-batch scan matches against applies BOTH the
+            # count cap and the spatial span rule — the span evictions use
+            # the predicted positions above, so they can deviate from the
+            # authoritative post-fetch maintenance in _finish_scan by at
+            # most the odometric drift over the in-flight flushes.
+            max_span2 = cfg.scan_buffer_maximum_scan_distance**2
+
+            def _add_running(sim: list[int], sid: int) -> None:
+                sim.append(sid)
+                while len(sim) > cap:
+                    sim.pop(0)
+                while sim and float(
+                    np.sum((_pos(sim[0]) - _pos(sim[-1])) ** 2)
+                ) > max_span2:
+                    sim.pop(0)
+
+            # the authoritative `running` covers finished scans only; an
+            # in-flight flush's adds are replayed on top of it (with their
+            # predicted positions) before this flush's chains are built
+            sim = list(running)
+            if inflight:
+                for s in inflight["sids"]:
+                    _add_running(sim, s)
             chain_idx = np.zeros((k, cap), np.int32)
             chain_len = np.zeros(k, np.int32)
             for j in range(k):
-                ids = (prior_ids + [sid0 + x for x in range(j)])[-cap:]
-                chain_idx[j, : len(ids)] = ids
-                chain_len[j] = len(ids)
+                chain_idx[j, : len(sim)] = sim
+                chain_len[j] = len(sim)
+                _add_running(sim, sid0 + j)
             if parallel:
                 # odometry-chained predictions for every scan of the flush
-                last_id = self.last_by_sensor[sensor]
-                centers = np.zeros((k, 3), np.float32)
-                prev = self.poses[last_id]
-                for j in range(k):
-                    prev = _np_compose(prev, deltas[j])
-                    centers[j] = prev
+                centers = np.asarray(pred_poses, np.float32)
                 pose_lookup = self.poses[: self.max_scans].astype(np.float32)
                 pose_lookup = pose_lookup.copy()
                 pose_lookup[sid0 : sid0 + k] = centers
@@ -965,6 +1018,7 @@ class KartoMapper:
                 "sids": [sid0 + j for j in range(k)],
                 "sid0": sid0,
                 "odom_last": odom_poses[pend[-1]],
+                "pred_poses": pred_poses,
                 "deltas": deltas,
                 "chain_idx": chain_idx,
                 "chain_len": chain_len,

@@ -175,6 +175,22 @@ def _patch_sums_pallas_jit(
     )(ay, ax, grid100)
 
 
+
+def _outside_trace() -> bool:
+    """Best-effort "not inside a jit/vmap trace" check for the eager-call
+    selfcheck below.  trace_state_clean is private jax API with no
+    stability guarantee; if it moves, fall back to True — _roll_selfcheck
+    is lru_cached and runs only on its own concrete inputs, so running it
+    (once) at trace time is harmless, while SKIPPING it on a jax upgrade
+    is exactly the unguarded scenario it exists to prevent."""
+    try:
+        from jax._src import core as _core
+
+        return bool(_core.trace_state_clean())
+    except Exception:
+        return True
+
+
 def patch_sums_pallas(
     grid: Array,  # [G, G] f32 probabilities in [0, 1], multiples of 0.01
     ay: Array,  # [nA, B] int32 patch top rows (pre-masked, see module doc)
@@ -187,9 +203,7 @@ def patch_sums_pallas(
     outside a trace; inside an outer jit trace (the normal match_scan
     path) the check is the caller's duty at engine construction —
     KartoMapper.__init__ runs it on TPU backends, as does verify_tpu.py."""
-    from jax._src import core as _core
-
-    if _core.trace_state_clean():
+    if _outside_trace():
         _roll_selfcheck()
     return _patch_sums_pallas_jit(grid, ay, ax, s)
 
@@ -303,9 +317,7 @@ def patch_sums_stride2(
     s2: int,  # number of stride-2 shifts per axis (static)
 ) -> Array:
     """Summed stride-2 patches per angle: [nA, s2, s2] f32 (x100 sums)."""
-    from jax._src import core as _core
-
-    if _core.trace_state_clean():
+    if _outside_trace():
         _roll_selfcheck()
     return _patch_sums_stride2_jit(grid, ay, ax, ok, s2)
 

@@ -1,8 +1,8 @@
 """Reference-exact float64 NumPy oracles.
 
 These modules re-state the C++ reference's hot numerical contracts
-(open_karto's correlative scan matcher + mapper graph, and
-sparse_bundle_adjustment's SysSPA2d) in plain NumPy float64, preserving
+(open_karto's correlative scan matcher + mapper graph,
+sparse_bundle_adjustment's SysSPA2d, and lesson4's hector GN matcher) in plain NumPy float64, preserving
 every quantization, tie rule, and quirk — including the ones that look
 like bugs — so the TPU implementation can be differential-tested against
 "what the reference computes" rather than against synthetic truth alone
@@ -11,6 +11,7 @@ like bugs — so the TPU implementation can be differential-tested against
 They are deliberately slow scalar/NumPy code: fidelity over speed.
 """
 
+from tpuslam.oracle.hector import OracleHectorMatcher
 from tpuslam.oracle.spa2d import OracleSpa2d
 from tpuslam.oracle.karto import (
     OracleScan,
@@ -19,6 +20,7 @@ from tpuslam.oracle.karto import (
 )
 
 __all__ = [
+    "OracleHectorMatcher",
     "OracleSpa2d",
     "OracleScan",
     "OracleScanMatcher",
