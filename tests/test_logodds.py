@@ -70,9 +70,18 @@ def test_invalid_beams_ignored():
     assert np.count_nonzero(out) == 0
 
 
-def test_out_of_bounds_endpoint_dropped():
+def test_out_of_bounds_endpoint_cancels_line():
     lo = jnp.zeros(SPEC.shape)
     out = run_update(lo, [2.0, 4.0], [[200.0, 4.0]])
-    # endpoint outside: no occ cell; free trace clipped to in-bounds cells
-    assert (out <= 0).all()
-    assert np.isclose(out[4, 10], FREE_INC)
+    # reference semantics (OccGridMapBase.h:220-240): a beam whose end
+    # cell is outside the map updates NOTHING — whole-line cancellation,
+    # not per-cell clipping
+    assert np.count_nonzero(out) == 0
+
+
+def test_begin_equals_end_cell_skipped():
+    lo = jnp.zeros(SPEC.shape)
+    # endpoint rounds to the sensor cell: skipped entirely, no occ mark
+    # (OccGridMapBase.h:155-159)
+    out = run_update(lo, [2.0, 4.0], [[2.2, 4.1]])
+    assert np.count_nonzero(out) == 0

@@ -11,6 +11,7 @@ lossy/NaN scans.  If a documented deviation silently grows, these fail.
 import dataclasses
 import math
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -390,3 +391,211 @@ def test_hector_gn_oracle_parity():
     )  # cells (= 0.25 mm at 5 cm resolution)
     assert abs(got_pose[2] - want_pose[2]) < 5e-5
     assert np.allclose(np.asarray(got_h, np.float64), want_h, rtol=5e-4)
+
+
+class TestUndistortOracleParity:
+    """models/undistort.py vs the float64 port of lesson5's
+    lidar_undistortion.cc (oracle/undistort.py).  Shared fixture: a scan
+    taken while yawing/rolling + translating, IMU samples bracketing the
+    scan (seed strictly before t0, as PruneImuDeque requires), odometry
+    messages exactly at the scan span."""
+
+    N = 180
+    PERIOD = 0.1
+
+    def _fixture(self, wx=0.0, wy=0.0, wz=0.6, vel=(0.8, -0.4)):
+        from tpuslam.models.undistort import make_imu_buffer
+
+        n, period = self.N, self.PERIOD
+        t0, t1 = 0.0, period
+        tinc = period / n
+        rng = np.random.default_rng(5)
+        ranges = rng.uniform(2.0, 6.0, n)
+        ranges[[3, 70]] = np.nan  # invalid beams (beam 0 stays valid)
+        amin, inc = -np.pi / 2, np.pi / (n - 1)
+        sc = make_scan(ranges, angle_min=amin, angle_increment=inc,
+                       range_min=0.1, range_max=30.0, time_increment=tinc)
+        # gyro at ~167 Hz: seed strictly before t0, last sample exactly t1
+        k = 17
+        imu_t = np.concatenate([[t0 - 1e-5], np.linspace(t0, t1, k)[1:],
+                                [t1 + 0.01]])
+        imu_w = np.tile([wx, wy, wz], (len(imu_t), 1))
+        imu = make_imu_buffer(imu_t, imu_w[:, 2], capacity=64,
+                              wx=imu_w[:, 0], wy=imu_w[:, 1])
+        # odometry: start message exactly at t0 (a strictly-earlier start
+        # message would rotate the reference's increment into ITS yaw
+        # frame — tpuslam's odom_rel is defined in the scan-start frame,
+        # so the host converts when message times don't align)
+        dyaw = wz * period
+        odom_t = [t0, t1, t1 + 0.02]
+        odom_p = np.zeros((3, 6))
+        for i, t in enumerate(odom_t):
+            odom_p[i, :2] = np.asarray(vel) * (t - t0)
+            odom_p[i, 5] = dyaw * (t - t0) / period
+        # transBt between the t0 and t1 messages (start frame, yaw 0 at t0)
+        odom_rel = np.array([vel[0] * period, vel[1] * period, dyaw])
+        angles = amin + np.arange(n) * inc
+        return (sc, imu, odom_rel, t0, t1, ranges, angles, imu_t, imu_w,
+                odom_t, odom_p, tinc)
+
+    def _oracle(self, point_z, fix):
+        from tpuslam.oracle.undistort import OracleUndistorter
+
+        (sc, imu, odom_rel, t0, t1, ranges, angles, imu_t, imu_w,
+         odom_t, odom_p, tinc) = fix
+        orc = OracleUndistorter(point_z=point_z)
+        orc.prune_imu(imu_t, imu_w, t0, t1)
+        orc.prune_odom(odom_t, odom_p, t0, t1)
+        return orc.correct(ranges, angles, 0.1, 30.0, t0, tinc)
+
+    def test_yaw_only_reference_exact(self):
+        from tpuslam.core.config import UndistortConfig
+        from tpuslam.models.undistort import undistort
+
+        fix = self._fixture()
+        sc, imu, odom_rel, t0, t1 = fix[:5]
+        want, wvalid = self._oracle(1.0, fix)  # quirk moot under pure yaw
+        got, gvalid = undistort(UndistortConfig(num_beams=self.N),
+                                sc, imu, jnp.asarray(odom_rel, jnp.float32),
+                                t0, t1)
+        got = np.asarray(got, np.float64)
+        m = np.asarray(gvalid)
+        assert np.array_equal(m, wvalid)
+        assert np.allclose(got[m], want[m][:, :2], atol=5e-5), (
+            np.abs(got[m] - want[m][:, :2]).max()
+        )
+
+    def test_three_axis_quirk_reference_exact(self):
+        from tpuslam.core.config import UndistortConfig
+        from tpuslam.models.undistort import undistort
+
+        fix = self._fixture(wx=0.3, wy=-0.2)
+        sc, imu, odom_rel, t0, t1 = fix[:5]
+        want, wvalid = self._oracle(1.0, fix)
+        cfg = UndistortConfig(num_beams=self.N, three_axis=True,
+                              pcl_z_quirk=True)
+        got, gvalid = undistort(cfg, sc, imu,
+                                jnp.asarray(odom_rel, jnp.float32), t0, t1)
+        got = np.asarray(got, np.float64)
+        m = np.asarray(gvalid)
+        assert np.allclose(got[m], want[m], atol=5e-5), (
+            np.abs(got[m] - want[m]).max()
+        )
+
+    def test_three_axis_default_fixes_z_quirk(self):
+        from tpuslam.core.config import UndistortConfig
+        from tpuslam.models.undistort import undistort
+
+        fix = self._fixture(wx=0.3, wy=-0.2)
+        sc, imu, odom_rel, t0, t1 = fix[:5]
+        want, wvalid = self._oracle(0.0, fix)  # physically-correct variant
+        cfg = UndistortConfig(num_beams=self.N, three_axis=True)
+        got, gvalid = undistort(cfg, sc, imu,
+                                jnp.asarray(odom_rel, jnp.float32), t0, t1)
+        got = np.asarray(got, np.float64)
+        m = np.asarray(gvalid)
+        assert np.allclose(got[m], want[m], atol=5e-5), (
+            np.abs(got[m] - want[m]).max()
+        )
+        # and the quirk is a real deviation the knob controls
+        quirked, _ = self._oracle(1.0, fix)
+        assert np.abs(quirked[m][:, :2] - want[m][:, :2]).max() > 1e-3
+
+
+def test_hector_map_update_oracle_parity():
+    """ops/logodds.py update_grid vs the float64 port of the reference's
+    updateByScan (OccGridMapBase.h:118-330 + GridMapLogOdds.h:92-161):
+    multiple scans of random in-map beams — including beams whose endpoint
+    rounds to the sensor cell, repeated endpoints, crossing rays, and a
+    saturating cell — must produce the IDENTICAL log-odds grid (same f32
+    increments, so exact equality up to f32 rounding of the sums)."""
+    from tpuslam.core.grid import GridSpec
+    from tpuslam.ops.logodds import update_grid
+    from tpuslam.oracle.hector import OracleHectorMap
+
+    n, w, h = 96, 48, 40
+    spec = GridSpec(resolution=1.0, size_x=w, size_y=h,
+                    origin_x=0.0, origin_y=0.0)
+    rng = np.random.default_rng(23)
+    lo = jnp.zeros((h, w), jnp.float32)
+    oracle = OracleHectorMap(w, h)
+    # beams in the sensor frame; poses rotate + translate them
+    for step in range(4):
+        pose = np.array([20.0 + step, 18.0 - step, 0.3 * step])
+        pts = rng.uniform(-16, 16, (n, 2))
+        pts[5] = [0.1, -0.2]         # endpoint rounds to the sensor cell
+        pts[6] = pts[7]              # duplicate endpoints
+        pts[8] = [35.0, 0.0]         # may leave the map after transform
+        c, s = np.cos(pose[2]), np.sin(pose[2])
+        # the reference transforms in f32 (Affine2f over float points):
+        # both sides consume the IDENTICAL f32 world endpoints, so cell
+        # rounding at .5 boundaries cannot diverge between f32 and f64
+        world = (pts @ np.array([[c, s], [-s, c]]) + pose[:2]).astype(
+            np.float32
+        )
+        lo = update_grid(
+            spec, lo, jnp.asarray(pose[:2], jnp.float32),
+            jnp.asarray(world),
+            jnp.ones(n, bool), max_steps=64,
+            update_free=0.4, update_occ=0.9,
+        )
+        oracle.update_by_scan_world(world, pose[:2].astype(np.float32))
+    got = np.asarray(lo, np.float64)
+    want = oracle.grid()
+    assert np.allclose(got, want, atol=2e-5), (
+        np.abs(got - want).max(),
+        int(np.count_nonzero(~np.isclose(got, want, atol=2e-5))),
+    )
+    assert np.count_nonzero(want) > 500  # the fixture actually painted
+
+
+def test_gmapping_oracle_parity():
+    """models/gmapping.py step + gmapping_export vs the float64 port of
+    the reference's ComputeMap (gmapping.cc:171-242 over gridLineCore +
+    PointAccumulator): identical hit/visit counters and occupancy on a
+    generic (non-grid-aligned) scan — including clamped free-only beams,
+    an exactly-at-maxUrange beam (free-only, STRICT inequality), dropped
+    over-maxRange/zero/NaN beams, and repeated endpoints."""
+    from tpuslam.core.config import GmappingConfig
+    from tpuslam.models import gmapping
+    from tpuslam.oracle.gmapping import OracleGmappingMap
+
+    nb = 240
+    # even grid size so GridSpec's corner-anchored cells coincide with
+    # the reference's center-anchored world2map; beam content stays
+    # generic via the random ranges + offset angles
+    cfg = GmappingConfig(
+        xmin=-10.0, xmax=10.0, ymin=-10.0, ymax=10.0,
+        delta=0.05, maxRange=12.0, maxUrange=6.0, num_beams=nb,
+        ray_steps=512,
+    )
+    rng = np.random.default_rng(7)
+    angles = np.linspace(-np.pi, np.pi, nb, endpoint=False) + 0.0113
+    ranges = rng.uniform(0.5, 11.5, nb)  # many beams beyond maxUrange
+    ranges[3] = 0.0          # skipped
+    ranges[4] = np.nan       # skipped
+    ranges[5] = 12.7         # > maxRange: skipped
+    ranges[6] = 6.0          # exactly maxUrange: free-only
+    # visit multiplicity is exercised by the dense near-sensor crossings
+
+    sc = make_scan(ranges, angle_min=float(angles[0]),
+                   angle_increment=float(angles[1] - angles[0]),
+                   range_min=0.0, range_max=np.inf, num_beams=nb)
+    counts = gmapping.step(cfg, gmapping.init_counts(cfg),
+                           jnp.zeros(3, jnp.float32), sc)
+
+    spec = gmapping.make_spec(cfg)
+    oracle = OracleGmappingMap(spec.size_x, spec.size_y, cfg.delta,
+                               (cfg.xmin + cfg.xmax) / 2,
+                               (cfg.ymin + cfg.ymax) / 2)
+    # the reference caches cos/sin of the scan angles (CreateCache)
+    oracle.compute_map(ranges, np.cos(angles), np.sin(angles),
+                       max_range=cfg.maxRange, max_use_range=cfg.maxUrange)
+
+    got_hits = np.asarray(counts.hits, np.int64)
+    got_visits = np.asarray(counts.visits, np.int64)
+    assert np.array_equal(got_hits, oracle.n), (
+        int(np.abs(got_hits - oracle.n).sum()))
+    assert np.array_equal(got_visits, oracle.visits), (
+        int(np.abs(got_visits - oracle.visits).sum()))
+    assert oracle.n.sum() > 100 and oracle.visits.sum() > 5000

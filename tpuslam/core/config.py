@@ -153,6 +153,14 @@ class UndistortConfig:
     # ComputeRotation 398-432 + pcl::getTransformation); points come back
     # [B, 3].  False = yaw-only fast path for level platforms, points [B, 2].
     three_axis: bool = False
+    # Reference quirk (lidar_undistortion.cc:343 + 388-394): the beam is
+    # transformed as the 3D point (x, y, 1.0) — current_point_z is
+    # initialized to 1.0 and never reassigned — so roll/pitch leak a 1 m
+    # lever arm into the corrected x/y.  tpuslam's default (False) uses the
+    # physically-correct planar point (x, y, 0); True reproduces the
+    # reference bit-for-bit (three_axis mode only; pure yaw is unaffected
+    # either way).
+    pcl_z_quirk: bool = False
     imu_queue_size: int = 256  # static ring-buffer capacity
     odom_queue_size: int = 256
     num_beams: int = 1500

@@ -53,7 +53,10 @@ def step(
     pts, valid = scan_to_points(scan)
     r = scan.ranges
     valid = valid & (r > 0.0) & (r <= cfg.maxRange)
-    free_only = valid & (r > cfg.maxUrange)
+    # hit only when d < maxUrange STRICTLY (gmapping.cc:211-218): a beam
+    # landing exactly at the threshold — including every clamped beam —
+    # marks free space only
+    free_only = valid & (r >= cfg.maxUrange)
     # clamp clipped beams to maxUrange along the beam direction
     scale = jnp.where(free_only, cfg.maxUrange / jnp.maximum(r, 1e-9), 1.0)
     pts = pts * scale[..., None]
@@ -67,6 +70,7 @@ def step(
         free_only,
         valid,
         max_steps=cfg.ray_steps,
+        canonical_lines=True,  # gridLineCore tie-cell semantics
     )
 
 

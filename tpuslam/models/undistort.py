@@ -157,12 +157,17 @@ def undistort(
         cr, sr = jnp.cos(roll_i), jnp.sin(roll_i)
         cp, sp = jnp.cos(pitch_i), jnp.sin(pitch_i)
         cy, sy = jnp.cos(yaw_i), jnp.sin(yaw_i)
-        # rows of Rz·Ry·Rx applied to (x, y, 0): only the first two columns
+        # the reference transforms the beam as (x, y, 1.0) — see
+        # UndistortConfig.pcl_z_quirk; z adds Rz·Ry·Rx's third column
+        z = 1.0 if cfg.pcl_z_quirk else 0.0
+        # rows of Rz·Ry·Rx applied to (x, y, z)
         out = jnp.stack(
             [
-                cy * cp * x + (cy * sp * sr - sy * cr) * y + txy_i[:, 0],
-                sy * cp * x + (sy * sp * sr + cy * cr) * y + txy_i[:, 1],
-                -sp * x + cp * sr * y,
+                cy * cp * x + (cy * sp * sr - sy * cr) * y
+                + (cy * sp * cr + sy * sr) * z + txy_i[:, 0],
+                sy * cp * x + (sy * sp * sr + cy * cr) * y
+                + (sy * sp * cr - cy * sr) * z + txy_i[:, 1],
+                -sp * x + cp * sr * y + cp * cr * z,
             ],
             axis=-1,
         )

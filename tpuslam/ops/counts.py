@@ -46,6 +46,7 @@ def accumulate_scan(
     *,
     max_steps: int,
     trace_includes_endpoint: bool = False,
+    canonical_lines: bool = False,
 ) -> CountGrid:
     """Scatter-add one scan's rays into the counters.
 
@@ -64,9 +65,31 @@ def accumulate_scan(
     iterates ``line.num_points - 1``), the default here.
     """
     h, w = spec.shape
-    ix, iy, m = ray_cells(
-        jnp.broadcast_to(origin_m, endpoints_m.shape), endpoints_m, max_steps
-    )
+    starts = jnp.broadcast_to(origin_m, endpoints_m.shape)
+    if canonical_lines:
+        # gmapping's gridLineCore enumerates every line from the end with
+        # the SMALLER major-axis coordinate (gridlinetraversal.h:27-180),
+        # so Bresenham tie cells — exact half crossings, ubiquitous on
+        # integer-to-integer lines — follow the canonical direction, not
+        # the beam direction.  Walk swapped rays from the beam endpoint
+        # and drop the walk START (= the beam endpoint cell) instead of
+        # the walk end (gmapping.cc:206-217 excludes the endpoint).
+        bx = jnp.floor(starts[..., 0] + 0.5).astype(jnp.int32)
+        by = jnp.floor(starts[..., 1] + 0.5).astype(jnp.int32)
+        ex0 = jnp.floor(endpoints_m[..., 0] + 0.5).astype(jnp.int32)
+        ey0 = jnp.floor(endpoints_m[..., 1] + 0.5).astype(jnp.int32)
+        dx, dy = ex0 - bx, ey0 - by
+        x_major = jnp.abs(dx) >= jnp.abs(dy)
+        swap = jnp.where(x_major, dx < 0, dy < 0)
+        s3 = swap[..., None]
+        ix, iy, m = ray_cells(
+            jnp.where(s3, endpoints_m, starts),
+            jnp.where(s3, starts, endpoints_m),
+            max_steps,
+            drop_start=swap,
+        )
+    else:
+        ix, iy, m = ray_cells(starts, endpoints_m, max_steps)
     m = m & valid[..., None] & (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
     flat_free = jnp.where(m, iy * w + ix, h * w)
 

@@ -54,21 +54,34 @@ def scan_cell_masks(
     NOT yet resolved here (callers combine).
     """
     h, w = spec.shape
-    ix, iy, ray_mask = ray_cells(
-        jnp.broadcast_to(origin_m, endpoints_m.shape), endpoints_m, max_steps
+    # reference cell rounding is an INT-CAST of (f + 0.5)
+    # (OccGridMapBase.h:126-155): truncation toward zero, which equals
+    # floor for positive coords but CLAMPS the (-1, -0.5) band to cell 0
+    # at the map edge — cells are computed here with the exact cast and
+    # handed to ray_cells as already-integral coords
+    bx = (origin_m[..., 0] + 0.5).astype(jnp.int32)
+    by = (origin_m[..., 1] + 0.5).astype(jnp.int32)
+    ex = (endpoints_m[..., 0] + 0.5).astype(jnp.int32)
+    ey = (endpoints_m[..., 1] + 0.5).astype(jnp.int32)
+    begin_cells = jnp.broadcast_to(
+        jnp.stack([bx, by], -1).astype(endpoints_m.dtype), endpoints_m.shape
     )
+    end_cells = jnp.stack([ex, ey], -1).astype(endpoints_m.dtype)
+    ix, iy, ray_mask = ray_cells(begin_cells, end_cells, max_steps)
     ray_mask = ray_mask & valid[..., None]
-    inb = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
-    ray_mask = ray_mask & inb
+    # reference line semantics (OccGridMapBase.h:155-159 + 220-240): a
+    # beam whose begin OR end cell is outside the map updates NOTHING
+    # (whole-line cancellation, not per-cell clipping), and a beam whose
+    # begin == end cell is skipped entirely (no occupied mark either)
+    binb = (bx >= 0) & (bx < w) & (by >= 0) & (by < h)
+    einb = (ex >= 0) & (ex < w) & (ey >= 0) & (ey < h)
+    line_ok = binb & einb & ((ex != bx) | (ey != by))
+    ray_mask = ray_mask & line_ok[..., None]
     flat_free = jnp.where(
         ray_mask, iy * w + ix, h * w
     )  # h*w = dropped sentinel
 
-    # nearest lattice point, matching ray_cells / bilinear anchoring
-    ex = jnp.floor(endpoints_m[..., 0] + 0.5).astype(jnp.int32)
-    ey = jnp.floor(endpoints_m[..., 1] + 0.5).astype(jnp.int32)
-    einb = (ex >= 0) & (ex < w) & (ey >= 0) & (ey < h) & valid
-    flat_occ = jnp.where(einb, ey * w + ex, h * w)
+    flat_occ = jnp.where(line_ok & valid, ey * w + ex, h * w)
 
     zeros = jnp.zeros((h * w,), dtype=jnp.uint8)
     one = jnp.uint8(1)

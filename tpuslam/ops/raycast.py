@@ -30,7 +30,10 @@ Array = jax.Array
 
 
 def ray_cells(
-    start_m: Array, end_m: Array, max_steps: int
+    start_m: Array,
+    end_m: Array,
+    max_steps: int,
+    drop_start: Array | None = None,
 ) -> tuple[Array, Array, Array]:
     """Bresenham cells from cell(start) toward cell(end), endpoint excluded.
 
@@ -77,6 +80,15 @@ def ray_cells(
         y0[..., None] + sy[..., None] * minor_step,
         y0[..., None] + sy[..., None] * maj_k,
     )
-    # k ranges over [0, amaj): endpoint cell (k == amaj) excluded.
-    mask = k < amaj[..., None]
+    # k ranges over [0, amaj): endpoint cell (k == amaj) excluded — or,
+    # where drop_start is True, over (0, amaj]: the walk START excluded
+    # and the walk end kept (used by canonical-direction callers whose
+    # excluded beam endpoint is the walk's first cell; gmapping's
+    # gridLineCore enumerates from the min-major-coordinate end,
+    # gridlinetraversal.h:27-180)
+    if drop_start is None:
+        mask = k < amaj[..., None]
+    else:
+        ds = drop_start[..., None].astype(jnp.int32)
+        mask = (k >= ds) & (k <= amaj[..., None] - 1 + ds)
     return ix, iy, mask

@@ -2,7 +2,8 @@
 
 These modules re-state the C++ reference's hot numerical contracts
 (open_karto's correlative scan matcher + mapper graph,
-sparse_bundle_adjustment's SysSPA2d, and lesson4's hector GN matcher) in plain NumPy float64, preserving
+sparse_bundle_adjustment's SysSPA2d, lesson4's hector GN matcher + log-odds map update + gmapping
+hit/visit mapper, and lesson5's undistortion) in plain NumPy float64, preserving
 every quantization, tie rule, and quirk — including the ones that look
 like bugs — so the TPU implementation can be differential-tested against
 "what the reference computes" rather than against synthetic truth alone
@@ -11,7 +12,9 @@ like bugs — so the TPU implementation can be differential-tested against
 They are deliberately slow scalar/NumPy code: fidelity over speed.
 """
 
-from tpuslam.oracle.hector import OracleHectorMatcher
+from tpuslam.oracle.gmapping import OracleGmappingMap
+from tpuslam.oracle.hector import OracleHectorMap, OracleHectorMatcher
+from tpuslam.oracle.undistort import OracleUndistorter
 from tpuslam.oracle.spa2d import OracleSpa2d
 from tpuslam.oracle.karto import (
     OracleScan,
@@ -20,7 +23,10 @@ from tpuslam.oracle.karto import (
 )
 
 __all__ = [
+    "OracleGmappingMap",
+    "OracleHectorMap",
     "OracleHectorMatcher",
+    "OracleUndistorter",
     "OracleSpa2d",
     "OracleScan",
     "OracleScanMatcher",

@@ -111,3 +111,126 @@ class OracleHectorMatcher:
             est, hess = self.estimate_once(est, pts)
         est[2] = math.atan2(math.sin(est[2]), math.cos(est[2]))
         return est, hess
+
+
+class OracleHectorMap:
+    """Reference-exact float64 log-odds map update (one pyramid level).
+
+    Scalar port of ``updateByScan`` + ``updateLineBresenhami`` +
+    ``bresenham2D`` + the updateIndex bookkeeping
+    (OccGridMapBase.h:118-330) over ``GridMapLogOdds`` cell semantics
+    (GridMapLogOdds.h:92-161), preserving:
+
+    - the per-scan once-free/once-occupied marks and occ-unsets-free,
+    - the one-sided saturation (occupied adds only while logOdds < 50,
+      so a single update may overshoot past 50 and stays there; free
+      has NO floor),
+    - the (f + 0.5) int-cast rounding of begin/end cells,
+    - whole-line cancellation when begin or end falls outside the map,
+    - begin == end lines skipped entirely (no occ mark either),
+    - free cells from the line start up to (excluding) the endpoint,
+      with the reference's exact error seeding (abs_da / 2).
+    """
+
+    def __init__(self, size_x: int, size_y: int,
+                 free_factor: float = 0.4, occ_factor: float = 0.9):
+        self.size_x = size_x
+        self.size_y = size_y
+        self.log_odds = np.zeros(size_x * size_y)
+        self.update_index = np.full(size_x * size_y, -1, np.int64)
+        self.cur_update = 0
+        self.lo_free = math.log(free_factor / (1.0 - free_factor))
+        self.lo_occ = math.log(occ_factor / (1.0 - occ_factor))
+
+    # GridMapLogOdds.h:108-131
+    def _set_occ(self, off):
+        if self.log_odds[off] < 50.0:
+            self.log_odds[off] += self.lo_occ
+
+    def _set_free(self, off):
+        self.log_odds[off] += self.lo_free
+
+    def _unset_free(self, off):
+        self.log_odds[off] -= self.lo_free
+
+    # OccGridMapBase.h:302-312
+    def _cell_free(self, off, mark_free):
+        if self.update_index[off] < mark_free:
+            self._set_free(off)
+            self.update_index[off] = mark_free
+
+    # OccGridMapBase.h:315-330
+    def _cell_occ(self, off, mark_free, mark_occ):
+        if self.update_index[off] < mark_occ:
+            if self.update_index[off] == mark_free:
+                self._unset_free(off)
+            self._set_occ(off)
+            self.update_index[off] = mark_occ
+
+    # OccGridMapBase.h:270-299
+    def _bresenham2d(self, abs_da, abs_db, error_b, off_a, off_b, off,
+                     mark_free):
+        self._cell_free(off, mark_free)
+        for _ in range(abs_da - 1):
+            off += off_a
+            error_b += abs_db
+            if error_b >= abs_da:
+                off += off_b
+                error_b -= abs_da
+            self._cell_free(off, mark_free)
+
+    # OccGridMapBase.h:220-267
+    def _update_line(self, x0, y0, x1, y1, mark_free, mark_occ):
+        if not (0 <= x0 < self.size_x and 0 <= y0 < self.size_y):
+            return
+        if not (0 <= x1 < self.size_x and 0 <= y1 < self.size_y):
+            return
+        dx, dy = x1 - x0, y1 - y0
+        abs_dx, abs_dy = abs(dx), abs(dy)
+        off_dx = (dx > 0) - (dx < 0)
+        off_dy = ((dy > 0) - (dy < 0)) * self.size_x
+        start = y0 * self.size_x + x0
+        if abs_dx >= abs_dy:
+            self._bresenham2d(abs_dx, abs_dy, abs_dx // 2, off_dx, off_dy,
+                              start, mark_free)
+        else:
+            self._bresenham2d(abs_dy, abs_dx, abs_dy // 2, off_dy, off_dx,
+                              start, mark_free)
+        self._cell_occ(y1 * self.size_x + x1, mark_free, mark_occ)
+
+    # OccGridMapBase.h:118-168 (origo = laser origin in robot coords)
+    def update_by_scan(self, pts_map, pose_map, origo=(0.0, 0.0)):
+        mark_free = self.cur_update + 1
+        mark_occ = self.cur_update + 2
+        c, s = math.cos(pose_map[2]), math.sin(pose_map[2])
+
+        def xform(p):
+            return (c * p[0] - s * p[1] + pose_map[0],
+                    s * p[0] + c * p[1] + pose_map[1])
+
+        bx, by = xform(origo)
+        x0, y0 = int(bx + 0.5), int(by + 0.5)
+        for p in np.asarray(pts_map, np.float64):
+            ex, ey = xform(p)
+            x1, y1 = int(ex + 0.5), int(ey + 0.5)
+            if (x0, y0) != (x1, y1):
+                self._update_line(x0, y0, x1, y1, mark_free, mark_occ)
+        self.cur_update += 3
+
+    def update_by_scan_world(self, world_pts, begin_xy):
+        """updateByScan with PRE-transformed endpoints: the reference
+        transforms in Eigen float32 (Affine2f over float DataContainer),
+        so bit-faithful cross-checks against an f32 pipeline must feed
+        both sides the identical f32 world points."""
+        mark_free = self.cur_update + 1
+        mark_occ = self.cur_update + 2
+        x0 = int(float(begin_xy[0]) + 0.5)
+        y0 = int(float(begin_xy[1]) + 0.5)
+        for ex, ey in np.asarray(world_pts, np.float64):
+            x1, y1 = int(ex + 0.5), int(ey + 0.5)
+            if (x0, y0) != (x1, y1):
+                self._update_line(x0, y0, x1, y1, mark_free, mark_occ)
+        self.cur_update += 3
+
+    def grid(self) -> np.ndarray:
+        return self.log_odds.reshape(self.size_y, self.size_x)
