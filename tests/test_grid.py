@@ -46,3 +46,11 @@ def test_in_bounds_and_flat_index():
         np.asarray(g.in_bounds(ix, iy)), [True, True, False, False]
     )
     np.testing.assert_array_equal(np.asarray(g.flat_index(ix, iy)), [0, 255, 47, 32])
+
+
+def test_centered_independent_start_fractions():
+    """hector's mapStart x/y are independent (hector_slam.cc:143-145) —
+    map_start_y must not silently follow map_start_x."""
+    s = GridSpec.centered(0.05, 100, 0.5, 0.2)
+    assert s.origin_x == -2.5
+    assert abs(s.origin_y - (-1.0)) < 1e-12

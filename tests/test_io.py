@@ -205,3 +205,33 @@ def test_rosbag_rejects_non_bag(tmp_path):
 
     with pytest.raises(ValueError, match="not a rosbag v2.0"):
         read_bag(p)
+
+
+def test_tslg_preserves_nan_inf_beams(tmp_path):
+    """NaN/inf ranges are the documented invalid-beam encoding and must
+    round-trip verbatim (regression: save_tslg once rewrote NaN to 0.0)."""
+    from tpuslam.io.bag import ScanLog, load_tslg, save_tslg
+
+    r = np.ones((2, 8), np.float32)
+    r[0, 1] = np.nan
+    r[0, 2] = np.inf
+    r[1, 3] = np.nan
+    log = ScanLog(
+        ranges=r,
+        stamps=np.arange(2, dtype=np.float64),
+        odom=np.zeros((2, 3), np.float32),
+        imu_wz=np.zeros(2, np.float32),
+        angle_min=-1.0,
+        angle_increment=0.1,
+        range_min=0.1,
+        range_max=10.0,
+    )
+    p = tmp_path / "nan.tslg"
+    save_tslg(p, log)
+    back = load_tslg(p)
+    assert np.array_equal(
+        np.isnan(back.ranges), np.isnan(r)
+    )
+    assert np.array_equal(
+        np.isposinf(back.ranges), np.isposinf(r)
+    )

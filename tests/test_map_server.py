@@ -52,3 +52,20 @@ def test_cli_map_stream(tmp_path, capsys):
     err = capsys.readouterr().err
     assert '"event": "map_update"' in err
     assert '"image"' not in err  # raw image stays out of the log stream
+
+
+def test_backwards_time_jump_resets_publisher():
+    """A looped-bag clock reset must publish again, not silence the
+    publisher forever (regression: t < last_time never fired)."""
+    import numpy as np
+
+    from tpuslam.utils.events import EventBus
+    from tpuslam.utils.map_server import MapPublisher
+
+    pub = MapPublisher(
+        EventBus(), lambda: np.zeros((4, 4), np.int8), period=1.0
+    )
+    assert pub.maybe_publish(100.0)
+    assert not pub.maybe_publish(100.5)
+    assert pub.maybe_publish(3.0)  # clock jumped backwards: reset
+    assert not pub.maybe_publish(3.5)

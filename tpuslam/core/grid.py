@@ -37,12 +37,21 @@ class GridSpec:
 
     @classmethod
     def centered(
-        cls, resolution: float, size: int, start_frac: float = 0.5
+        cls,
+        resolution: float,
+        size: int,
+        start_frac: float = 0.5,
+        start_frac_y: float | None = None,
     ) -> "GridSpec":
         """Square map with the world origin at ``start_frac`` of the map —
-        hector's mapStart coords (hector_slam.cc:143-145, defaults 0.5)."""
-        half = size * resolution * start_frac
-        return cls(resolution, size, size, -half, -half)
+        hector's mapStart coords (hector_slam.cc:143-145, defaults 0.5);
+        ``start_frac_y`` sets the y fraction independently (defaults to
+        ``start_frac``)."""
+        extent = size * resolution
+        fy = start_frac if start_frac_y is None else start_frac_y
+        return cls(
+            resolution, size, size, -extent * start_frac, -extent * fy
+        )
 
     @property
     def shape(self) -> tuple[int, int]:

@@ -115,7 +115,7 @@ def log(pose: Array) -> Array:
     th_safe = jnp.where(small, jnp.ones_like(th), th)
     half = th_safe / 2.0
     cot = half / jnp.tan(half)
-    a = jnp.where(small, 1.0 + th * th / 12.0, cot)
+    a = jnp.where(small, 1.0 - th * th / 12.0, cot)  # (th/2)cot(th/2) series
     b = jnp.where(small, -th / 2.0, -half)
     vx = a * x - b * y
     vy = b * x + a * y

@@ -71,9 +71,12 @@ class LmSolver:
 
 _REGISTRY: dict[str, Callable[[], ScanSolver]] = {
     "spa_solver": lambda: LmSolver(num_iters=40),
-    "ceres_solver": lambda: LmSolver(num_iters=50, init_lambda=1e-8),
+    # iteration caps follow each reference adapter: ceres
+    # max_num_iterations=100 (ceres_solver.cc:188), g2o optimize(40)
+    # (g2o_solver.cc:112), gtsam maxIterations=500 (gtsam_solver.cc:82)
+    "ceres_solver": lambda: LmSolver(num_iters=100, init_lambda=1e-8),
     "g2o_solver": lambda: LmSolver(num_iters=40, init_lambda=1e-8),
-    "gtsam_solver": lambda: LmSolver(num_iters=500 // 8, init_lambda=1e-5),
+    "gtsam_solver": lambda: LmSolver(num_iters=500, init_lambda=1e-5),
 }
 
 

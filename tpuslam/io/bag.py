@@ -124,8 +124,9 @@ def save_tslg(path: str | os.PathLike, log: ScanLog) -> None:
     stamps = np.ascontiguousarray(log.stamps, np.float64)
     odom = np.ascontiguousarray(log.odom, np.float32)
     wz = np.ascontiguousarray(log.imu_wz, np.float32)
-    ranges = np.ascontiguousarray(np.nan_to_num(log.ranges, posinf=np.inf),
-                                  np.float32)
+    # NaN/inf beams are the documented invalid encoding (ScanLog docstring)
+    # and round-trip verbatim — f32 represents them exactly
+    ranges = np.ascontiguousarray(log.ranges, np.float32)
     lib = _native_lib()
     if lib is not None:
         rc = lib.tslg_write(

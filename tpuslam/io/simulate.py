@@ -78,7 +78,6 @@ def cast_rays(
     # Solve o + t*d = a + u*e  for t >= 0, 0 <= u <= 1.
     # cross(d, e) t-denominator per (beam, segment)
     denom = d[:, None, 0] * e[None, :, 1] - d[:, None, 1] * e[None, :, 0]
-    ao = a[None, :] - o[None, None, :].reshape(1, 1, 2)[0]  # [1, N, 2] - o
     ao = a[None, :, :] - o[None, None, :]
     t_num = ao[..., 0] * e[None, :, 1] - ao[..., 1] * e[None, :, 0]
     u_num = ao[..., 0] * d[:, None, 1] - ao[..., 1] * d[:, None, 0]

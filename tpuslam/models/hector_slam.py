@@ -43,7 +43,10 @@ class HectorState(NamedTuple):
 def make_specs(cfg: HectorConfig) -> tuple[GridSpec, ...]:
     """Pyramid of grids, finest first (MapRepMultiMap.h:57-90)."""
     specs = [
-        GridSpec.centered(cfg.map_resolution, cfg.map_size, cfg.map_start_x)
+        GridSpec.centered(
+            cfg.map_resolution, cfg.map_size, cfg.map_start_x,
+            cfg.map_start_y,
+        )
     ]
     for _ in range(1, cfg.map_multi_res_levels):
         specs.append(specs[-1].coarsen())

@@ -60,7 +60,7 @@ def make_sharded_match_scan(
     mesh: Mesh,
     axis: str = "lattice",
     *,
-    penalize: bool = False,
+    penalize: bool = True,
     refine: bool = True,
 ):
     """Build a jitted MatchScan with the coarse/fine angle lattice sharded

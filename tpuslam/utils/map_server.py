@@ -54,8 +54,13 @@ class MapPublisher:
 
     def maybe_publish(self, t: float) -> bool:
         """Publish if ``t`` is at least one period after the last publish
-        (first call always publishes).  Returns whether it fired."""
-        if self._last_time is not None and t - self._last_time < self.period:
+        (first call always publishes).  A BACKWARDS time jump (looped bag
+        replay, clock reset) is treated as a reset and publishes, as ROS
+        nodes do on sim-time jumps.  Returns whether it fired."""
+        if (
+            self._last_time is not None
+            and 0.0 <= t - self._last_time < self.period
+        ):
             return False
         self.publish(t)
         return True

@@ -40,10 +40,14 @@ def render_map(
     optional trajectory [T, 3] and pose-graph edge segments [E, 2, 2]."""
     plt = _plt()
     img = np.asarray(grid_img)
-    rgb = np.empty(img.shape + (3,), np.float32)
-    rgb[img == -1] = (0.66, 0.66, 0.66)
+    # default (unknown-grey) fill so values outside {-1, 0, 100} — e.g.
+    # intermediate ROS probabilities 1..99 or uint8-stored -1 — render
+    # deterministically instead of as uninitialized memory
+    rgb = np.full(img.shape + (3,), 0.66, np.float32)
     rgb[img == 0] = (1.0, 1.0, 1.0)
     rgb[img == 100] = (0.05, 0.05, 0.05)
+    mid = (img > 0) & (img < 100)
+    rgb[mid] = 1.0 - (img[mid, None].astype(np.float32) / 100.0) * 0.95
 
     h, w = img.shape
     x0, y0 = origin
