@@ -114,12 +114,12 @@ def run_both_matchers(query_ranges, query_meta, center, base_list,
     spec = spec_from(cfg)
     qs = tpuslam_scan(query_ranges, amin, ainc)
     qpts, qvalid = scan_to_points(qs)
-    qvalid = qvalid & (qs.ranges <= THR) & (qs.ranges > 0.0)
+    qvalid = qvalid & (qs.ranges > 0.0)  # unfiltered staging (karto.py)
     wpts, wvalid = [], []
     for br, bam, bai, bp in base_list:
         bs = tpuslam_scan(br, bam, bai)
         bpts, bv = scan_to_points(bs)
-        bv = bv & (bs.ranges <= THR) & (bs.ranges > 0.0)
+        bv = bv & (bs.ranges > 0.0)  # unfiltered staging (karto.py)
         wpts.append(se2.transform_points(
             np.asarray(bp, np.float32), bpts))
         wvalid.append(bv)
@@ -599,3 +599,41 @@ def test_gmapping_oracle_parity():
     assert np.array_equal(got_visits, oracle.visits), (
         int(np.abs(got_visits - oracle.visits).sum()))
     assert oracle.n.sum() > 100 and oracle.visits.sum() > 5000
+
+
+def test_matcher_parity_over_threshold_beams():
+    """Beams beyond rangeThreshold are NOT dropped: the reference stamps,
+    tests visibility, and looks up UNFILTERED readings
+    (GetPointReadings(false) via Mapper.cpp:758 + Karto.h:6423) — an
+    over-threshold base beam landing inside the ROI must contribute to
+    the correlation grid in both implementations, and removing it (the
+    old threshold-masked staging) must change the response."""
+    rng = np.random.default_rng(4)
+    # base at origin: a 4 m ring (in range; THR = 6) plus a cluster of
+    # 6.5 m beams near angle 0 — their endpoints land ~5.3 m from the
+    # search center (1.2, 0): inside the ROI, away from the grid-edge
+    # band where the patch formulation's whole-point drop and the
+    # reference's border reads legitimately differ
+    br = np.full(NB, 4.0) + rng.normal(0, 0.01, NB)
+    bam, bai = -math.pi, 2 * math.pi / NB
+    near_zero = np.abs(bam + bai * np.arange(NB)) < 0.12
+    br[near_zero] = 6.5
+    base = [(br, bam, bai, np.zeros(3))]
+    # query: a 4 m ring seen from (1.2, 0), plus beams at 5.3 m near
+    # angle 0 whose endpoints (~(6.5, 0)) land on the over-threshold
+    # stamps — the response READS those cells
+    qr = np.full(NB, 4.0) + rng.normal(0, 0.01, NB)
+    qr[near_zero] = 5.3
+    center = np.array([1.2, 0.0, 0.0])
+    (ro, po, _), (rt, pt, _) = run_both_matchers(
+        qr, (bam, bai), center, base
+    )
+    assert rt == pytest.approx(ro, abs=2e-5), (ro, rt)
+    assert np.allclose(pt[:2], po[:2], atol=1e-4)
+    # and the over-threshold beams genuinely shape the surface: masking
+    # them (the old staging) must change the tpuslam response
+    base_masked = [(np.where(br > THR, np.nan, br), bam, bai, np.zeros(3))]
+    _, (rt_masked, _, _) = run_both_matchers(
+        qr, (bam, bai), center, base_masked
+    )
+    assert rt_masked != pytest.approx(rt, abs=1e-6), (rt, rt_masked)

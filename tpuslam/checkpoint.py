@@ -152,6 +152,7 @@ def load_karto(path: str | os.PathLike, mapper) -> None:
         for k in range(z["edge_i"].shape[0])
     ]
     mapper.adj = {}
+    mapper._edge_keys = {(i, j) for i, j, _, _ in mapper.edges}
     for i, j, _, _ in mapper.edges:
         mapper.adj.setdefault(i, set()).add(j)
         mapper.adj.setdefault(j, set()).add(i)

@@ -279,9 +279,14 @@ def match_pyramid_batched(
         poses_map = spec.world_pose_to_map(poses)
         iters = iterations_finest if lvl == 0 else iterations_coarse
         if lvl == 0:
-            # +128 alignment slack: the kernel aligns the crop origin down
-            # to the (8, 128) DMA tile
-            need = int(2.0 * max_point_range / spec.resolution) + 64 + 128
+            # +64 pose-drift slack (crop anchored at the initial pose)
+            # +256 alignment slack: the kernel aligns the crop origin DOWN
+            # to the (8, 128) DMA tile, which shrinks the +x margin by up
+            # to 127 cells — the window must guarantee margin >= R + drift
+            # on BOTH sides after the shift (window//2 - 127 >= R + 32),
+            # or beams near max range in the +x direction silently drop
+            # out of the GN fit
+            need = int(2.0 * max_point_range / spec.resolution) + 64 + 256
             window = min(round_up(need, 128), round_up(min(spec.shape), 128))
             poses_map, hess, scores = match_level_pallas(
                 prob_grids[lvl], pts_map, valid, poses_map,

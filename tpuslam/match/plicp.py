@@ -404,6 +404,9 @@ def plicp(
             delta_pose = rigid_fit_2d(cur, q1, wsys)
             new_pose = se2.compose(delta_pose, pose)
             delta = new_pose - pose
+            # compose wraps the heading: near the +-pi boundary the raw
+            # difference is ~2*pi and convergence would never be detected
+            delta = delta.at[2].set(se2.wrap_angle(delta[2]))
             sw = jnp.sum(wsys)
             swd = jnp.einsum("b,bi->i", wsys, drot)
             swdd = jnp.einsum("b,bi,bi->", wsys, drot, drot)

@@ -97,12 +97,20 @@ def _fused_seq_step(
     small host fetch per scan instead of five (the round-1 pipeline was
     dispatch/compile-bound on tunneled PJRT backends)."""
     pts, valid = scan_to_points(scan)
-    valid = valid & (scan.ranges <= max_range) & (scan.ranges > 0.0)
+    # the matcher consumes UNFILTERED readings (GetPointReadings(false),
+    # Karto.h:5336-5355; FindValidPoints Mapper.cpp:758 and the lookup
+    # Karto.h:6423 both use them): every finite beam participates in
+    # visibility, grid stamping, and the response — far beams fall outside
+    # the grid and contribute zero via its bounds checks, exactly as the
+    # reference's ROI/index guards.  Only the BARYCENTER uses the
+    # InRange(min, rangeThreshold)-filtered set (Karto.h:5361-5427).
+    valid = valid & (scan.ranges > 0.0)
+    filtered = valid & (scan.ranges <= max_range)
     pts_store = pts_store.at[sid].set(pts)
     valid_store = valid_store.at[sid].set(valid)
     mean_local = jnp.sum(
-        jnp.where(valid[:, None], pts, 0.0), axis=0
-    ) / jnp.maximum(jnp.sum(valid), 1)
+        jnp.where(filtered[:, None], pts, 0.0), axis=0
+    ) / jnp.maximum(jnp.sum(filtered), 1)
     if not do_match:
         return (
             pts_store,
@@ -157,12 +165,15 @@ def _fused_batch_steps(
         scan, delta, cidx, clen, k = inp
         sid = sid0 + k
         pts, valid = scan_to_points(scan)
-        valid = valid & (scan.ranges <= max_range) & (scan.ranges > 0.0)
+        # unfiltered-readings staging + filtered barycenter: see
+        # _fused_seq_step
+        valid = valid & (scan.ranges > 0.0)
+        filtered = valid & (scan.ranges <= max_range)
         pts_store = pts_store.at[sid].set(pts)
         valid_store = valid_store.at[sid].set(valid)
         mean_local = jnp.sum(
-            jnp.where(valid[:, None], pts, 0.0), axis=0
-        ) / jnp.maximum(jnp.sum(valid), 1)
+            jnp.where(filtered[:, None], pts, 0.0), axis=0
+        ) / jnp.maximum(jnp.sum(filtered), 1)
         center = se2.compose(prev, delta)
         cpts = jnp.take(pts_store, cidx, axis=0)
         cvalid = jnp.take(valid_store, cidx, axis=0)
@@ -217,13 +228,15 @@ def _fused_parallel_steps(
     cap = chain_idx.shape[1]
     k = scans.ranges.shape[0]
     pts, valid = scan_to_points(scans)  # [K, B, 2]
-    valid = valid & (scans.ranges <= max_range) & (scans.ranges > 0.0)
+    # unfiltered-readings staging + filtered barycenter: see _fused_seq_step
+    valid = valid & (scans.ranges > 0.0)
+    filtered = valid & (scans.ranges <= max_range)
     sids = sid0 + jnp.arange(k, dtype=jnp.int32)
     pts_store = pts_store.at[sids].set(pts)
     valid_store = valid_store.at[sids].set(valid)
     mean_local = jnp.sum(
-        jnp.where(valid[..., None], pts, 0.0), axis=1
-    ) / jnp.maximum(jnp.sum(valid, axis=1), 1)[:, None]
+        jnp.where(filtered[..., None], pts, 0.0), axis=1
+    ) / jnp.maximum(jnp.sum(filtered, axis=1), 1)[:, None]
 
     def one(center, p, v, cidx, clen, cposes):
         cpts = jnp.take(pts_store, cidx, axis=0)
@@ -361,6 +374,7 @@ class KartoMapper:
         self.sensor_scans: dict[str, list[int]] = {}
         self.running_by_sensor: dict[str, list[int]] = {}
         self.edges: list[tuple[int, int, np.ndarray, np.ndarray]] = []
+        self._edge_keys: set[tuple[int, int]] = set()  # O(1) AddEdge dedup
         self.adj: dict[int, set[int]] = {}
         self.last_by_sensor: dict[str, int] = {}
         # observability counters (the reference exposes these only as
@@ -485,10 +499,20 @@ class KartoMapper:
         jamming the LM/PCG solver on one edge.  Eigen-floor the covariance
         at 1e-4 (precision cap 1e4, an order above the reference's typical
         1/variance-floor of 1e3) before inverting."""
-        if any(e[0] == i and e[1] == j for e in self.edges):
+        if (i, j) in self._edge_keys:
             return  # AddEdge dedup (Mapper.cpp:1086-1096)
+        self._edge_keys.add((i, j))
         meas = _np_relative(self.poses[i], mean)
+        # the matcher covariance is in WORLD axes but the solver residual
+        # (and the measurement above) live in the from-scan's frame —
+        # rotate by R(-theta_i) before inverting, as LinkInfo::Update does
+        # (Mapper.cpp:1105-1121); skipping this swaps longitudinal and
+        # lateral confidence for edges from rotated scans
+        th = float(self.poses[i][2])
+        c, s = math.cos(-th), math.sin(-th)
+        rot = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
         sym = 0.5 * (cov + cov.T)
+        sym = rot @ sym @ rot.T
         w, v = np.linalg.eigh(sym)
         prec = (v / np.maximum(w, 1e-4)) @ v.T
         self.edges.append((i, j, meas, prec))
@@ -958,7 +982,6 @@ class KartoMapper:
                 # odometry-chained predictions for every scan of the flush
                 centers = np.asarray(pred_poses, np.float32)
                 pose_lookup = self.poses[: self.max_scans].astype(np.float32)
-                pose_lookup = pose_lookup.copy()
                 pose_lookup[sid0 : sid0 + k] = centers
                 chain_poses = pose_lookup[chain_idx]  # [k, cap, 3]
                 (
@@ -1113,8 +1136,19 @@ class KartoMapper:
                 or dh >= cfg.minimum_travel_heading
                 or d2 >= cfg.minimum_travel_distance**2 - 1e-9
             ):
-                # prediction for the report: carry the last correction
-                results[i] = ProcessResult(False, odom_poses[i], 0.0, False)
+                # prediction for the report: carry the last FINISHED
+                # correction (process() semantics, Mapper.cpp:2021-2025;
+                # corrections of pending/in-flight scans land a flush
+                # later, per the documented batch deferral)
+                lid = self.last_by_sensor[sensor]
+                pred = _np_compose(
+                    _np_compose(
+                        self.poses[lid],
+                        _np_inverse(self.records[lid].odom_pose),
+                    ),
+                    odom_poses[i],
+                )
+                results[i] = ProcessResult(False, pred, 0.0, False)
                 continue
             if not cfg.use_scan_matching:
                 flush(final=True)
@@ -1327,7 +1361,7 @@ class KartoMapper:
             # endpoints to the threshold ray point, trace them free-only.
             r = jnp.linalg.norm(pts, axis=-1)
             over = r > thr
-            export_valid = valid | over
+            export_valid = valid  # store holds raw (unfiltered) validity
             scale = jnp.where(over, thr / jnp.maximum(r, 1e-9), 1.0)
             wpts = se2.transform_points(jposes, pts * scale[..., None])
             free_only = r >= (thr - 1e-6)

@@ -56,13 +56,19 @@ def _extract_1d(cfg: FeatureConfig, r: Array, valid: Array) -> FeatureResult:
     in_window = (pos >= hw) & (pos < nv - hw)
     c = jnp.where(in_window, c, 0.0)
 
-    # 6 equal segments over the compacted valid prefix (feature_detection.cc:139-150)
-    seg = (pos * cfg.num_segments) // jnp.maximum(nv, 1)
+    # 6 equal segments over the compacted valid prefix with the
+    # reference's EXACT bounds (feature_detection.cc:141-146):
+    # start_j = nv*j//6, end_j = nv*(j+1)//6 - 1 (inclusive), and a
+    # degenerate segment (start >= end) contributes nothing.  A plain
+    # pos*6//nv binning puts boundary beams in the wrong segment.
     eligible = in_window & (c > cfg.edge_threshold)
 
     corner_c = jnp.zeros(n, bool)
     for s_id in range(cfg.num_segments):
-        scored = jnp.where(eligible & (seg == s_id), c, -jnp.inf)
+        start = (nv * s_id) // cfg.num_segments
+        end = (nv * (s_id + 1)) // cfg.num_segments - 1
+        member = (pos >= start) & (pos <= end) & (start < end)
+        scored = jnp.where(eligible & member, c, -jnp.inf)
         top, idx = jax.lax.top_k(scored, cfg.max_corners_per_segment)
         corner_c = corner_c.at[idx].max(top > -jnp.inf)
 
