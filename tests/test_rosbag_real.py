@@ -15,8 +15,8 @@ emits — all the structure the repo's minimal writer never produces:
 - multiple chunks, multiple connections, bz2-compressed chunks,
 - message records interleaved across connections within a chunk.
 
-lz4 chunk compression is exercised only when the optional ``lz4`` codec
-is importable (it is not vendored in this environment); bz2 covers the
+lz4 chunk compression decodes through the system liblz4 (io/_lz4.py);
+bz2 covers the
 compressed-chunk code path either way.
 
 Everything here is written from the rosbag 2.0 format specification
@@ -136,7 +136,14 @@ def write_roscomm_style_bag(path, messages, compression="none",
             offsets.setdefault(conn_id, []).append((t, pos))
 
         raw = bytes(chunk_body)
-        comp = bz2.compress(raw) if compression == "bz2" else raw
+        if compression == "bz2":
+            comp = bz2.compress(raw)
+        elif compression == "lz4":
+            from tpuslam.io import _lz4
+
+            comp = _lz4.compress(raw)
+        else:
+            comp = raw
         chunk_pos = _write_record(
             out,
             [(b"op", b"\x05"), (b"compression", compression.encode()),
@@ -263,7 +270,7 @@ def _make_messages(n_scans=9, nb=16):
     return msgs
 
 
-@pytest.mark.parametrize("compression", ["none", "bz2"])
+@pytest.mark.parametrize("compression", ["none", "bz2", "lz4"])
 def test_read_roscomm_layout_bag(tmp_path, compression):
     path = tmp_path / f"fixture_{compression}.bag"
     msgs = _make_messages()
@@ -281,7 +288,7 @@ def test_read_roscomm_layout_bag(tmp_path, compression):
     assert by_topic["/laser_scan"][0].msg_type == "sensor_msgs/LaserScan"
 
 
-@pytest.mark.parametrize("compression", ["none", "bz2"])
+@pytest.mark.parametrize("compression", ["none", "bz2", "lz4"])
 def test_scanlog_from_roscomm_layout_bag(tmp_path, compression):
     path = tmp_path / f"fixture2_{compression}.bag"
     write_roscomm_style_bag(path, _make_messages(),

@@ -8,7 +8,7 @@ bags host-side — pure Python, no ROS — and converts the LaserScan + odometry
 BASELINE.md ATE-parity runs on the author's datasets.
 
 Implements the rosbag 2.0 container format (records with name=value headers,
-chunked message storage, none/bz2 chunk compression) and the ROS1 binary
+chunked message storage, none/bz2/lz4 chunk compression) and the ROS1 binary
 message serialization for the three message types the lessons consume:
 ``sensor_msgs/LaserScan``, ``nav_msgs/Odometry``, ``sensor_msgs/Imu``.
 A minimal writer produces spec-conformant fixture bags for round-trip tests.
@@ -74,8 +74,8 @@ def read_bag(path) -> list[BagMessage]:
     """Sequentially read every message record of a rosbag v1 file.
 
     Index/chunk-info records are skipped (no random access needed for a
-    full-log conversion); chunk compression none and bz2 are supported
-    (lz4 requires the optional ``lz4`` package and raises otherwise)."""
+    full-log conversion); chunk compression none, bz2 and lz4 are all
+    supported (lz4 via the system liblz4, io/_lz4.py)."""
     data = Path(path).read_bytes()
     if not data.startswith(_VERSION_LINE):
         raise ValueError(
@@ -113,14 +113,22 @@ def read_bag(path) -> list[BagMessage]:
                 elif comp == "bz2":
                     inner = bz2.decompress(payload)
                 elif comp == "lz4":
-                    try:
-                        import lz4.frame  # type: ignore
-                    except ImportError as e:  # pragma: no cover
-                        raise ValueError(
-                            "bag uses lz4 chunk compression; install lz4 or "
-                            "re-record with bz2/none"
-                        ) from e
-                    inner = lz4.frame.decompress(payload)
+                    # roslz4 writes standard LZ4 frames: decode with the
+                    # system liblz4 (io/_lz4.py ctypes binding); fall back
+                    # to the optional lz4 wheel if the .so is absent
+                    from tpuslam.io import _lz4
+
+                    if _lz4.available():
+                        inner = _lz4.decompress(payload)
+                    else:  # pragma: no cover
+                        try:
+                            import lz4.frame  # type: ignore
+                        except ImportError as e:
+                            raise ValueError(
+                                "bag uses lz4 chunk compression; liblz4 "
+                                "and the lz4 package are both unavailable"
+                            ) from e
+                        inner = lz4.frame.decompress(payload)
                 else:
                     raise ValueError(f"unknown chunk compression {comp!r}")
                 handle_records(inner)
@@ -458,6 +466,10 @@ def write_bag(
     payload = bytes(chunk)
     if compression == "bz2":
         comp_payload = bz2.compress(payload)
+    elif compression == "lz4":
+        from tpuslam.io import _lz4
+
+        comp_payload = _lz4.compress(payload)
     elif compression == "none":
         comp_payload = payload
     else:
