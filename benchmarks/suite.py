@@ -475,6 +475,60 @@ def bench_undistort(batch, iters):
     emit("undistorts_per_sec", batch / dt, "scans/s")
 
 
+def bench_bag_ingest(n_scans, iters):
+    """Host-side rosbag decode throughput (lz4-compressed chunks via the
+    system liblz4): container parse + LaserScan deserialization, the
+    data-plane analog of the reference's rosbag play feeding every
+    lesson node.  Pure host work — independent of the accelerator."""
+    import math
+    import struct
+    import tempfile
+
+    from tpuslam.io.rosbag import parse_laser_scan, read_bag, write_bag
+
+    rng = np.random.default_rng(0)
+    nb = 1081
+
+    def body(i, ranges):
+        stamp = 0.025 * i
+        secs = int(stamp)
+        head = (
+            struct.pack("<I", i)
+            + struct.pack("<II", secs, int(round((stamp - secs) * 1e9)))
+            + struct.pack("<I", 5) + b"laser"
+        )
+        meta = struct.pack(
+            "<7f", -math.pi / 2, math.pi / 2, math.pi / (nb - 1),
+            0.025 / nb, 0.025, 0.1, 30.0,
+        )
+        arr = struct.pack("<I", nb) + ranges.tobytes()
+        return head + meta + arr + struct.pack("<I", 0)
+
+    msgs = [
+        ("scan", "sensor_msgs/LaserScan", 0.025 * i,
+         body(i, rng.uniform(0.5, 20.0, nb).astype("<f4")))
+        for i in range(n_scans)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/bench.bag"
+        write_bag(path, msgs, compression="lz4")
+
+        def run():
+            for m in read_bag(path):
+                parse_laser_scan(m.raw)
+
+        run()  # warm (page cache, imports)
+        windows = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                run()
+            windows.append((time.perf_counter() - t0) / iters)
+        global _LAST_WINDOWS
+        _LAST_WINDOWS = windows
+    emit("bag_ingest_scans_per_sec", n_scans / min(windows), "scans/s")
+
+
 def bench_solver(iters):
     import jax.numpy as jnp
 
@@ -521,6 +575,7 @@ def main():
     bench_features(batch, iters)
     bench_undistort(batch, iters)
     bench_solver(iters)
+    bench_bag_ingest(64 if args.quick else 512, iters)
 
 
 if __name__ == "__main__":
