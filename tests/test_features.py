@@ -23,11 +23,24 @@ def numpy_reference(ranges, cfg=CFG):
         c[i] = s * s
     corners = set()
     for s_id in range(cfg.num_segments):
+        # reference bounds (feature_detection.cc:141-146): start = nv*j/6,
+        # end = nv*(j+1)/6 - 1; degenerate (start >= end) segments skipped
         lo = nv * s_id // cfg.num_segments
-        hi = nv * (s_id + 1) // cfg.num_segments
-        idxs = [i for i in range(lo, hi) if hw <= i < nv - hw and c[i] > cfg.edge_threshold]
-        idxs.sort(key=lambda i: -c[i])
-        corners.update(idxs[: cfg.max_corners_per_segment])
+        end = nv * (s_id + 1) // cfg.num_segments - 1
+        if lo >= end:
+            continue
+        # the reference sorts [lo, end) EXCLUSIVE and its pick loop starts
+        # at the UNSORTED end element, then walks the sorted range in
+        # descending curvature, breaking past the cap (cc:150-170)
+        order = sorted(range(lo, end), key=lambda i: -c[i])
+        picked = 0
+        for i in [end] + order:
+            if not (hw <= i < nv - hw) or c[i] <= cfg.edge_threshold:
+                continue
+            picked += 1
+            if picked > cfg.max_corners_per_segment:
+                break
+            corners.add(i)
     mask = np.zeros_like(ranges, dtype=bool)
     for i in corners:
         mask[comp_idx[i]] = True
@@ -95,3 +108,33 @@ def test_batched():
     got = extract_features(CFG, sc)
     assert got.corner_mask.shape == (3, n)
     assert (np.asarray(got.corner_mask).sum(axis=1) > 0).all()
+
+
+def test_unsorted_end_element_picked_first_when_saturated():
+    """feature_detection.cc:150-170 sorts [start, end) EXCLUSIVE of the
+    segment end and processes the UNSORTED end element first — when a
+    segment saturates its 20-corner cap, the end beam is picked even if
+    its curvature is not among the segment's top 20."""
+    n = 600
+    rng = np.random.default_rng(9)
+    # alternate ranges: every interior beam has large curvature (all
+    # segments saturate); add noise so curvatures are distinct
+    ranges = 3.0 + 2.0 * (np.arange(n) % 2) + 0.01 * rng.random(n)
+    sc = make_scan(ranges, angle_min=0.0, angle_increment=0.01)
+    got = extract_features(CFG, sc)
+    mask = np.asarray(got.corner_mask)
+    curv = np.asarray(got.curvature)
+    want_mask, want_curv = numpy_reference(ranges, CFG)
+    assert np.array_equal(mask, want_mask)
+    # the rule is actually exercised: some segment-end beam is picked
+    # whose curvature ranks below its segment's cap-th largest
+    nv = n  # all beams valid here
+    exercised = False
+    for s_id in range(CFG.num_segments):
+        lo = nv * s_id // CFG.num_segments
+        end = nv * (s_id + 1) // CFG.num_segments - 1
+        seg = curv[lo:end]
+        kth = np.sort(seg)[-CFG.max_corners_per_segment]
+        if mask[end] and curv[end] < kth:
+            exercised = True
+    assert exercised

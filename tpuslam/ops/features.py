@@ -68,7 +68,17 @@ def _extract_1d(cfg: FeatureConfig, r: Array, valid: Array) -> FeatureResult:
         start = (nv * s_id) // cfg.num_segments
         end = (nv * (s_id + 1)) // cfg.num_segments - 1
         member = (pos >= start) & (pos <= end) & (start < end)
-        scored = jnp.where(eligible & member, c, -jnp.inf)
+        # the reference sorts [start, end) EXCLUSIVE of end and its pick
+        # loop starts at the UNSORTED end element (feature_detection.cc:
+        # 150-170): when above threshold it is picked FIRST (counting
+        # toward the 20 cap) regardless of rank — force it to the top of
+        # the selection; the remaining picks are the usual by-curvature
+        # top-k of the sorted range
+        scored = jnp.where(
+            eligible & member,
+            jnp.where(pos == end, jnp.inf, c),
+            -jnp.inf,
+        )
         top, idx = jax.lax.top_k(scored, cfg.max_corners_per_segment)
         corner_c = corner_c.at[idx].max(top > -jnp.inf)
 
