@@ -54,7 +54,11 @@ if os.environ.get("TPUSLAM_NO_COMPILE_CACHE") != "1":
 
 
 def _add_common(p: argparse.ArgumentParser) -> None:
-    p.add_argument("--log", help="scan log path (.tslg or .npz)")
+    p.add_argument(
+        "--log",
+        help="scan log path (.tslg, .npz, or a ROS1 .bag — chunk "
+        "compression none/bz2/lz4)",
+    )
     p.add_argument("--synthetic", action="store_true",
                    help="generate a synthetic log instead of --log")
     p.add_argument("--num-scans", type=int, default=60)
