@@ -135,7 +135,11 @@ def bench_hector(batch, iters):
     import runpy
 
     # repo-root bench.py prints the headline; capture and re-emit so the
-    # line also lands in the versioned --out artifact
+    # line also lands in the versioned --out artifact.  The headline
+    # deliberately ALWAYS runs at bench.py's production operating point
+    # (batch 1024, 3x10 chained windows) — quick mode must not change
+    # the number the driver records; batch/iters are ignored here.
+    del batch, iters
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         runpy.run_path(
@@ -150,7 +154,8 @@ def bench_hector(batch, iters):
             continue
         emit(rec["metric"], rec["value"], rec["unit"],
              baseline=rec["value"] / rec["vs_baseline"]
-             if rec.get("vs_baseline") else None)
+             if rec.get("vs_baseline") else None,
+             windows=rec.get("windows"))
 
 
 def bench_plicp(batch, iters):

@@ -83,7 +83,10 @@ int tslg_write(const char* path, uint32_t num_beams, uint32_t num_records,
       return -3;
     }
   }
-  std::fclose(f);
+  // fclose flushes the buffered tail: a full disk / failed write-back
+  // surfaces HERE, and silently returning 0 would report a truncated
+  // log as written
+  if (std::fclose(f) != 0) return -3;
   return 0;
 }
 

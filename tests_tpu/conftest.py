@@ -15,9 +15,10 @@ attached so a plain ``pytest`` from a CPU-only box stays green.
 """
 
 import os
+import pathlib
+import sys
 
 import jax
-import pytest
 
 # match production: persistent compile cache (first compile of the big
 # loop-window programs is ~30 s; cached reruns are instant)
@@ -30,12 +31,15 @@ jax.config.update(
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
+# make `from tests.test_pallas_plicp import ...` resolve regardless of
+# how pytest was invoked (bare `pytest tests_tpu/` from any directory
+# does not put the repo root on sys.path; `python -m pytest` does)
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 collect_ignore_glob: list[str] = []
 
-if jax.default_backend() == "cpu":
+if jax.default_backend() != "tpu":
+    # Mosaic-only suite: skip on cpu AND any other non-TPU accelerator
+    # (pltpu lowering cannot compile there); interpret-mode coverage of
+    # the same kernels lives in tests/.
     collect_ignore_glob = ["*.py"]
-
-    def pytest_collection_modifyitems(config, items):
-        skip = pytest.mark.skip(reason="no accelerator backend attached")
-        for item in items:
-            item.add_marker(skip)

@@ -73,15 +73,18 @@ def _responses(spec, nb, angles=None, rmax=10.0):
                      * spec.resolution / spec.resolution)) + 1
     size = 2 * half + 1
     patch_bytes = len(angs) * nb * size * size * 4
-    # conv uses the whole correlation grid as the conv kernel: its FLOPs
-    # are nA * S^2 * G^2 — tractable only on small grids (the karto
-    # pipeline operating point, G ~< 700); the seq_default spec's 12 m
-    # margin at 0.01 m blows it up to ~3e14 FLOPs
-    conv_flops = 2.0 * len(angs) * size * size * spec.grid_size**2
+    # conv uses the whole correlation grid as the conv kernel — gate it by
+    # GRID SIZE, not a FLOPs formula: a G>~700 kernel conv lowers
+    # pathologically on the tunneled chip regardless of nominal FLOPs (a
+    # single 2431^2-kernel dispatch once wedged the shared device queue
+    # for HOURS, and killing the client does not cancel server-side work;
+    # TODO.md Engineering).  The raw-FLOPs guard used here before did NOT
+    # exclude the seq_default spec (2.7e11 < 1e12) — exactly the program
+    # class that caused the wedge.
     out = {}
     for method in ("pallas", "fft", "patch", "conv"):
         sp = dataclasses.replace(spec, response_method=method)
-        if method == "conv" and conv_flops > 1e12:
+        if method == "conv" and spec.grid_size > 700:
             continue
         if method == "patch" and patch_bytes > 192 * 1024 * 1024:
             continue  # same oversize rule as 'auto'

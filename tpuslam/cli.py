@@ -133,7 +133,8 @@ def cmd_synth(args):
     from tpuslam.io import bag
 
     log, true = bag.synthesize(
-        num_scans=args.num_scans, num_beams=args.num_beams, seed=args.seed
+        num_scans=args.num_scans, num_beams=args.num_beams, seed=args.seed,
+        poses_per_rev=args.poses_per_rev,
     )
     out = args.out
     if out.endswith(".npz"):
@@ -240,13 +241,38 @@ def cmd_plicp(args):
     log, true = _get_log(args)
     cfg = PlicpConfig(num_beams=log.num_beams)
     st = plicp_odometry.init_state(cfg)
+    # --laser-mount: the model consumes the planar base->laser extrinsic
+    # directly (plicp_odometry.cc:257-280 TF chain); inverted mounts also
+    # reverse the range arrays at staging (karto_slam.cc:417-425)
+    registry, laser_frame = _laser_registry(args)
+    b2l = None
+    if registry is not None:
+        import jax.numpy as _jnp
+
+        b2l = _jnp.asarray(
+            registry.get(laser_frame).offset_pose, _jnp.float32
+        )
+
+    def _scan(i):
+        if registry is None:
+            return log.scan(i)
+        from tpuslam.core.scan import make_scan
+
+        return make_scan(
+            registry.stage_ranges(laser_frame, log.ranges[i]),
+            angle_min=log.angle_min, angle_increment=log.angle_increment,
+            range_min=log.range_min, range_max=log.range_max,
+            time_increment=log.time_increment, num_beams=log.num_beams,
+        )
+
     timer = StepTimer()
     poses = []
     dts = np.diff(log.stamps, prepend=log.stamps[0] - 0.1)
     for i in range(len(log)):
         with timer.stage("plicp_step"):
-            st, info = plicp_odometry.step(cfg, st, log.scan(i),
-                                           dt=float(dts[i]))
+            st, info = plicp_odometry.step(cfg, st, _scan(i),
+                                           dt=float(dts[i]),
+                                           base_to_laser=b2l)
         poses.append(np.asarray(info.pose))
     poses = np.stack(poses)
     # odometry is relative to the first pose's frame
@@ -481,14 +507,25 @@ def _run_karto(args, log, true, cfg, mapper):
             if pub is not None:
                 pub.maybe_publish(float(log.stamps[i]))
     n = len(mapper.records)
+    # mapper poses are LASER (sensor) poses; with --laser-mount set,
+    # convert back to the base frame before comparing against the base
+    # ground truth or saving — otherwise the constant extrinsic lever arm
+    # shows up as spurious ATE
+    out_poses = mapper.poses[:n].copy()
+    if registry is not None:
+        from tpuslam.models.karto import _np_compose, _np_inverse
+
+        off = registry.get(laser_frame).offset_pose
+        inv = _np_inverse(np.asarray(off, np.float64))
+        out_poses = np.stack([_np_compose(p, inv) for p in out_poses])
     ate = None
     if kept_truth:
         kt = np.stack(kept_truth)[:n]
-        ate = float(np.sqrt(((mapper.poses[:n, :2] - kt[:, :2]) ** 2)
+        ate = float(np.sqrt(((out_poses[:, :2] - kt[:, :2]) ** 2)
                             .sum(1)).mean())
     if args.report:
         print(timer.report(), file=sys.stderr)
-    arrays = {"poses": mapper.poses[:n]}
+    arrays = {"poses": out_poses}
     if args.save or args.png:
         grid = mapper.occupancy_grid()
         if grid is not None:
@@ -539,11 +576,22 @@ def main(argv=None):
     args = ap.parse_args(argv)
     if not args.log and not args.synthetic and args.cmd != "synth":
         ap.error("provide --log PATH or --synthetic")
-    if (getattr(args, "map_stream", None) is not None
-            and args.cmd not in ("karto", "hector")):
-        print(f"warning: --map-stream is only implemented for the karto "
-              f"and hector workloads; ignored for {args.cmd}",
-              file=sys.stderr)
+    # warn (never silently ignore) when a common flag is set but the
+    # selected workload does not consume it
+    honored = {
+        "map_stream": ("karto", "hector"),
+        "laser_mount": ("karto", "plicp-odometry"),
+        "config": ("karto", "hector"),
+        "png": ("karto", "hector"),
+        "save": ("pointcloud", "features", "scan-match-icp",
+                 "plicp-odometry", "occupancy-map", "hector", "undistort",
+                 "karto"),
+    }
+    for flag, cmds in honored.items():
+        if getattr(args, flag, None) and args.cmd not in cmds:
+            print(f"warning: --{flag.replace('_', '-')} is only "
+                  f"implemented for {', '.join(cmds)}; ignored for "
+                  f"{args.cmd}", file=sys.stderr)
     args.fn(args)
 
 
