@@ -73,3 +73,24 @@ def test_defaults_match_reference():
     h = HectorConfig()
     assert h.map_resolution == 0.05 and h.map_multi_res_levels == 3
     assert h.update_factor_free == 0.4 and h.update_factor_occupied == 0.9
+
+
+def test_karto_library_defaults_pinned():
+    """KartoConfig defaults mirror the LIBRARY defaults (Mapper.cpp:
+    1448-1964) — what a user gets with no YAML.  The outdoor preset
+    mirrors mapper_params_outdoor.yaml instead."""
+    from tpuslam.core.config import KartoConfig, outdoor_karto_config
+
+    cfg = KartoConfig()
+    assert cfg.link_match_minimum_response_fine == 0.8  # Mapper.cpp:1517
+    assert cfg.link_scan_maximum_distance == 10.0  # Mapper.cpp:1523
+    assert cfg.use_response_expansion is False  # Mapper.cpp:1960
+    assert cfg.scan_buffer_size == 70
+    assert cfg.loop_search_maximum_distance == 4.0
+    out = outdoor_karto_config()
+    assert out.link_match_minimum_response_fine == 0.1
+    assert out.link_scan_maximum_distance == 1.5
+    assert out.use_response_expansion is True
+    # angle penalty: raw 0.1 from the yaml, NOT degree-converted
+    # (karto_slam.cc:218-219 squares the raw value)
+    assert out.angle_variance_penalty == 0.1

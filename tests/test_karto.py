@@ -33,6 +33,7 @@ CFG = KartoConfig(
     loop_match_minimum_response_fine=0.5,
     link_match_minimum_response_fine=0.6,
     link_scan_maximum_distance=1.5,
+    use_response_expansion=True,
 )
 
 

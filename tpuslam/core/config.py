@@ -99,7 +99,7 @@ class PlicpConfig:
 class GmappingConfig:
     """Lesson4 gmapping grid mapper (gmapping.cc:28-60)."""
 
-    maxRange: float = 30.0  # gmapping.cc max_range_
+    maxRange: float = 30.0 - 0.01  # gmapping.cc:47 (literally 30 - 0.01)
     maxUrange: float = 25.0  # max_use_range_, gmapping.cc:178
     xmin: float = -40.0
     ymin: float = -40.0
@@ -180,8 +180,8 @@ class KartoConfig:
     scan_buffer_size: int = 70  # yaml outdoor: 110; default Mapper.cpp: 70
     scan_buffer_maximum_scan_distance: float = 20.0  # yaml outdoor: 50
     use_scan_range: float = 12.0  # karto_slam.cc:83 (range threshold)
-    link_match_minimum_response_fine: float = 0.6  # yaml outdoor: 0.1
-    link_scan_maximum_distance: float = 1.5
+    link_match_minimum_response_fine: float = 0.8  # Mapper.cpp:1517-1522
+    link_scan_maximum_distance: float = 10.0  # Mapper.cpp:1523-1528
 
     # correlation (sequential matcher)
     correlation_search_space_dimension: float = 0.3
@@ -210,7 +210,7 @@ class KartoConfig:
     coarse_angle_resolution: float = 0.0349
     minimum_angle_penalty: float = 0.9
     minimum_distance_penalty: float = 0.5
-    use_response_expansion: bool = True
+    use_response_expansion: bool = False  # Mapper.cpp:1960-1964 (yaml: true)
     # correlative response-surface computation (not a reference knob; see
     # CorrelativeSpec.response_method): "auto" | "patch" | "conv" | "fft"
     # | "pallas"
