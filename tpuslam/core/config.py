@@ -124,8 +124,11 @@ class HectorConfig:
     update_factor_occupied: float = 0.9
     map_update_distance_thresh: float = 0.4  # HectorSlamProcessor.h:101-107
     map_update_angle_thresh: float = 0.9
-    laser_min_dist: float = 0.4
-    laser_max_dist: float = 30.0
+    laser_min_dist: float = 0.2  # hector_slam.cc:151
+    laser_max_dist: float = 30.0  # hector_slam.cc:154
+    # an INDEPENDENT use cap on top of laser_max_dist: beams beyond it are
+    # skipped ("distant points jump too much", hector_slam.cc:129 + 344)
+    use_max_scan_range: float = 20.0
     # matcher internals (ScanMatcher.h:60-139, MapRepMultiMap.h:144-167)
     iterations_finest: int = 5
     iterations_coarse: int = 3

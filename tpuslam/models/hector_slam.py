@@ -81,11 +81,17 @@ def step(
     """
     specs = make_specs(cfg)
     pts, valid = scan_to_points(scan)
-    # dist window (hector_slam.cc:330-352 laser_min/max_dist gating)
+    # beam gating (hector_slam.cc:336-356): STRICT dist window, the
+    # mounting-shadow filter (near points behind the laser, x < 0 and
+    # dist^2 < 0.5, are skipped), and the independent use_max_scan_range
+    # cap (default 20 m — "distant points jump too much")
+    r2 = scan.ranges * scan.ranges
     valid = (
         valid
-        & (scan.ranges >= cfg.laser_min_dist)
-        & (scan.ranges <= cfg.laser_max_dist)
+        & (scan.ranges > cfg.laser_min_dist)
+        & (scan.ranges < cfg.laser_max_dist)
+        & ~((pts[..., 0] < 0.0) & (r2 < 0.5))
+        & (r2 <= cfg.use_max_scan_range * cfg.use_max_scan_range)
     )
 
     if map_without_matching:
@@ -106,7 +112,8 @@ def step(
             iterations_coarse=cfg.iterations_coarse,
             yaw_clamp=cfg.yaw_step_clamp,
             max_point_range=(
-                cfg.laser_max_dist if cfg.matcher_impl == "mxu" else None
+                min(cfg.laser_max_dist, cfg.use_max_scan_range)
+                if cfg.matcher_impl == "mxu" else None
             ),
             compute_dtype=jnp.dtype(cfg.matcher_dtype),
         )
