@@ -3,7 +3,8 @@
 These modules re-state the C++ reference's hot numerical contracts
 (open_karto's correlative scan matcher + mapper graph,
 sparse_bundle_adjustment's SysSPA2d, lesson4's hector GN matcher + log-odds map update + gmapping
-hit/visit mapper, and lesson5's undistortion) in plain NumPy float64, preserving
+hit/visit mapper, lesson5's undistortion, and lesson3's CSM sm_icp
+PL-ICP) in plain NumPy float64, preserving
 every quantization, tie rule, and quirk — including the ones that look
 like bugs — so the TPU implementation can be differential-tested against
 "what the reference computes" rather than against synthetic truth alone
@@ -13,6 +14,7 @@ They are deliberately slow scalar/NumPy code: fidelity over speed.
 """
 
 from tpuslam.oracle.gmapping import OracleGmappingMap
+from tpuslam.oracle.plicp import OracleCsm, OracleLdp
 from tpuslam.oracle.hector import OracleHectorMap, OracleHectorMatcher
 from tpuslam.oracle.undistort import OracleUndistorter
 from tpuslam.oracle.spa2d import OracleSpa2d
@@ -23,7 +25,9 @@ from tpuslam.oracle.karto import (
 )
 
 __all__ = [
+    "OracleCsm",
     "OracleGmappingMap",
+    "OracleLdp",
     "OracleHectorMap",
     "OracleHectorMatcher",
     "OracleUndistorter",
