@@ -880,3 +880,93 @@ class TestPlicpOracleParity:
         assert np.allclose(tpu_poses[:, 2], oracle_poses[:, 2], atol=6e-3)
         truth_arr = np.asarray(truth)
         assert np.allclose(oracle_poses[:, :2], truth_arr[:, :2], atol=2e-2)
+
+
+# ---------------------------------------------------------------------------
+# Lesson2 ICP: PCL default-pipeline oracle vs match/icp.py
+# ---------------------------------------------------------------------------
+
+
+class TestPclIcpOracleParity:
+    """Differential tests vs the PCL-defaults f64 oracle (oracle/icp_pcl.py).
+
+    match/icp.py replaces PCL's kd-tree + SVD loop with an MXU distance
+    matmul + closed-form 2D Umeyama; these pin the final transforms
+    against the oracle's PCL-exact pipeline (incl. the node's
+    stray-origin-point conversion quirk, scan_match_icp.cc:99-118)."""
+
+    WORLD = world_with_boxes(11.83, 9.41)
+    NB = 240
+
+    def _pair(self, p0, rel, *, noise=0.0, seed=0):
+        rng = np.random.default_rng(seed)
+        p1 = _np_compose(np.asarray(p0, np.float64),
+                         np.asarray(rel, np.float64))
+        r0, amin, ainc = simulate_scan(self.WORLD, np.asarray(p0),
+                                       num_beams=self.NB, max_range=20.0,
+                                       noise_std=noise, rng=rng)
+        r1, _, _ = simulate_scan(self.WORLD, p1, num_beams=self.NB,
+                                 max_range=20.0, noise_std=noise, rng=rng)
+        return r0, r1, amin, ainc
+
+    def _run_both(self, r_src, r_tgt, amin, ainc):
+        from tpuslam.core.config import IcpConfig
+        from tpuslam.match.icp import icp
+        from tpuslam.oracle.icp_pcl import OraclePclIcp, convert_scan_to_cloud
+
+        range_min, range_max = 0.05, 19.0
+        src = convert_scan_to_cloud(r_src, amin, ainc, range_min, range_max)
+        tgt = convert_scan_to_cloud(r_tgt, amin, ainc, range_min, range_max)
+        ores = OraclePclIcp().align(src, tgt)
+
+        # production gets the node's exact clouds: origin stand-ins are
+        # REAL points in PCL's view, so the mask is all-valid
+        cfg = IcpConfig(num_beams=self.NB)
+        allv = jnp.ones(self.NB, bool)
+        tres = icp(cfg, jnp.asarray(src, jnp.float32), allv,
+                   jnp.asarray(tgt, jnp.float32), allv)
+        return ores, tres
+
+    def test_clean_pair_transforms_agree(self):
+        # node direction: source = LAST scan, target = CURRENT; the
+        # fitted T maps frame0 coords onto frame1 coords, i.e. rel^-1
+        rel = np.array([0.05, -0.03, 0.02])
+        r0, r1, amin, ainc = self._pair((0.4, -0.2, 0.2), rel)
+        ores, tres = self._run_both(r0, r1, amin, ainc)
+        assert ores.converged and bool(tres.converged)
+        # point-to-point ICP on sparse beams biases slightly vs truth;
+        # parity with the oracle is the tight assertion
+        assert np.allclose(np.asarray(tres.pose), ores.x, atol=2e-3), (
+            np.asarray(tres.pose), ores.x, ores.state)
+        inv_rel = np.asarray(se2.inverse(jnp.asarray(rel, jnp.float32)))
+        assert np.allclose(ores.x, inv_rel, atol=2e-2), (ores.x, inv_rel)
+
+    def test_quirk_origin_points_agree(self):
+        # invalid beams become (0,0) points in BOTH pipelines; with the
+        # same poisoned clouds the two must still agree with each other
+        rel = np.array([0.03, 0.02, -0.015])
+        r0, r1, amin, ainc = self._pair((-0.5, 0.3, -0.8), rel, seed=3)
+        r0 = r0.copy(); r1 = r1.copy()
+        r0[10:25] = np.nan
+        r1[100:115] = np.inf
+        ores, tres = self._run_both(r0, r1, amin, ainc)
+        assert ores.converged and bool(tres.converged)
+        assert np.allclose(np.asarray(tres.pose), ores.x, atol=3e-3), (
+            np.asarray(tres.pose), ores.x, ores.state)
+        # and the quirk is load-bearing: dropping the origin points
+        # instead changes the oracle's answer
+        from tpuslam.oracle.icp_pcl import OraclePclIcp, convert_scan_to_cloud
+        range_min, range_max = 0.05, 19.0
+        src = convert_scan_to_cloud(r0, amin, ainc, range_min, range_max)
+        tgt = convert_scan_to_cloud(r1, amin, ainc, range_min, range_max)
+        src_clean = src[~np.all(src == 0.0, axis=1)]
+        tgt_clean = tgt[~np.all(tgt == 0.0, axis=1)]
+        o2 = OraclePclIcp().align(src_clean, tgt_clean)
+        assert not np.allclose(o2.x, ores.x, atol=1e-6)
+
+    def test_identity_pair_converges_by_transform(self):
+        r0, _, amin, ainc = self._pair((0.0, 0.0, 0.0), (0, 0, 0))
+        ores, tres = self._run_both(r0, r0, amin, ainc)
+        assert ores.converged and ores.state in ("TRANSFORM", "ABS_MSE")
+        assert np.allclose(ores.x, 0.0, atol=1e-9)
+        assert np.allclose(np.asarray(tres.pose), 0.0, atol=1e-5)

@@ -15,6 +15,7 @@ They are deliberately slow scalar/NumPy code: fidelity over speed.
 
 from tpuslam.oracle.gmapping import OracleGmappingMap
 from tpuslam.oracle.plicp import OracleCsm, OracleLdp
+from tpuslam.oracle.icp_pcl import OraclePclIcp
 from tpuslam.oracle.hector import OracleHectorMap, OracleHectorMatcher
 from tpuslam.oracle.undistort import OracleUndistorter
 from tpuslam.oracle.spa2d import OracleSpa2d
@@ -28,6 +29,7 @@ __all__ = [
     "OracleCsm",
     "OracleGmappingMap",
     "OracleLdp",
+    "OraclePclIcp",
     "OracleHectorMap",
     "OracleHectorMatcher",
     "OracleUndistorter",
