@@ -115,6 +115,27 @@ def main() -> None:
         windows.append(time.perf_counter() - t0)
 
     mps = batch * iters / min(windows)
+
+    # Roofline evidence (artifact-backed, not prose): XLA's own cost model
+    # for the compiled batch program gives FLOPs/invocation; achieved
+    # FLOP/s = that times invocations/s.  Peak: TPU v5e bf16 = 197 TFLOP/s
+    # (the matcher computes in bf16, cfg.matcher_dtype); override via
+    # TPUSLAM_PEAK_FLOPS for a different part.
+    extra = {}
+    try:
+        ca = match_batch.lower(pts, valid, guesses).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca["flops"])
+        peak = float(os.environ.get("TPUSLAM_PEAK_FLOPS", 197e12))
+        achieved = flops * (mps / batch)
+        extra = {
+            "model_flops_per_match": round(flops / batch, 1),
+            "achieved_tflops": round(achieved / 1e12, 3),
+            "mfu_pct_v5e_bf16": round(100.0 * achieved / peak, 2),
+        }
+    except Exception:
+        pass  # cost model unavailable on this backend — headline unaffected
+
     print(json.dumps({
         "metric": "hector_scan_matches_per_sec",
         "value": round(mps, 1),
@@ -123,6 +144,7 @@ def main() -> None:
         # per-window matches/s so the spread behind the max-filtered
         # headline is reproducible from the artifact alone
         "windows": [round(batch * iters / w, 1) for w in windows],
+        **extra,
     }))
 
 

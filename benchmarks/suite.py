@@ -9,7 +9,7 @@ Metrics (all on the default accelerator):
 - icp_matches_per_sec           batched point-to-point ICP scan pairs
 - correlative_matches_per_sec   karto sequential MatchScan (coarse+fine)
 - loop_match_per_sec            karto loop matcher at the outdoor 15 m
-                                window (FFT response path)
+                                window (stride-2 Pallas response path)
 - karto_scans_per_sec           end-to-end karto frontend (batch mode,
                                 device work 1 dispatch / 64 scans)
 - grid_cell_updates_per_sec     hector log-odds scan rasterization
@@ -41,7 +41,14 @@ def timed(fn, *args, iters=10):
     tunnel shows transient multi-x stalls; the max-throughput window is
     still an honest fetched-every-iteration measurement.  All three window
     times land in the artifact (emit's ``windows_sec``) so the spread
-    behind the max-filtered headline is reproducible."""
+    behind the max-filtered headline is reproducible.
+
+    NOTE the tunneled backend pays ~27 ms of pure host-link RTT per fetch
+    (recorded as the ``tunnel_fetch_rtt_ms`` metric) — use this only for
+    metrics where a per-iteration host fetch is inherent to the measured
+    path (end-to-end engine loops).  Pure device kernels use
+    :func:`timed_chained` instead, so their numbers measure the device,
+    not the tunnel."""
     import jax
 
     def settle(out):
@@ -61,23 +68,94 @@ def timed(fn, *args, iters=10):
     return min(windows)
 
 
+def timed_chained(step, init, iters=10):
+    """Chained-dispatch timing (the repo-root bench.py methodology).
+
+    ``step`` is a jitted ``carry -> carry`` function whose output feeds the
+    next iteration's input, so every dispatch has a data dependency on the
+    previous one and the device MUST execute all of them before the single
+    end-of-window fetch — robust against async-dispatch semantics of
+    tunneled PJRT backends, while paying the ~27 ms tunnel fetch RTT once
+    per WINDOW instead of once per iteration.  This is the honest device
+    number: on local (non-tunneled) TPU hardware the per-fetch cost is
+    microseconds, so per-iteration-fetch timings under the tunnel would
+    report the host link, not the kernel (measured: the 15 m loop match is
+    9 ms of device work but 34 ms fetched-per-iteration)."""
+    import jax
+
+    carry = step(init)
+    jax.device_get(jax.tree.leaves(carry)[0])
+    per = max(1, iters // 3)
+    windows = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(per):
+            carry = step(carry)
+        jax.device_get(jax.tree.leaves(carry)[0])
+        windows.append((time.perf_counter() - t0) / per)
+    global _LAST_WINDOWS
+    _LAST_WINDOWS = windows
+    return min(windows)
+
+
+def _roofline(jitted, args, units_per_sec, batch):
+    """Artifact-backed roofline fields from XLA's own cost model:
+    model FLOPs per unit of work, achieved TFLOP/s at the measured rate,
+    and % of the v5e bf16 peak (197 TFLOP/s; TPUSLAM_PEAK_FLOPS
+    overrides).  Returns {} where the backend has no cost model."""
+    import os
+
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca["flops"])
+    except Exception:
+        return {}
+    peak = float(os.environ.get("TPUSLAM_PEAK_FLOPS", 197e12))
+    achieved = flops * (units_per_sec / batch)
+    return {
+        "model_flops_per_unit": round(flops / batch, 1),
+        "achieved_tflops": round(achieved / 1e12, 3),
+        "mfu_pct_v5e_bf16": round(100.0 * achieved / peak, 2),
+    }
+
+
+def dep0(x):
+    """A scalar zero that is DATA-DEPENDENT on ``x``.
+
+    ``clip(sum(x), 0, 0)`` evaluates to exactly 0.0 for any finite input
+    but cannot be constant-folded by XLA (the clamp's value depends on a
+    runtime operand), so adding it to the next iteration's inputs forces
+    cross-dispatch ordering in :func:`timed_chained` without perturbing
+    the computation."""
+    import jax
+    import jax.numpy as jnp
+
+    leaf = jax.tree.leaves(x)[0]
+    return jnp.clip(jnp.sum(leaf).astype(jnp.float32), 0.0, 0.0)
+
+
 _OUT_PATH: pathlib.Path | None = None
 
 
-def emit(metric, value, unit, baseline=None, windows=None):
+def emit(metric, value, unit, baseline=None, windows=None, extra=None):
     """windows: per-repeat raw measurements (seconds or the metric's own
     unit, as documented per metric) recorded alongside the max-filtered
-    headline so run-to-run variance is visible in the artifact."""
+    headline so run-to-run variance is visible in the artifact.
+    extra: additional artifact fields (e.g. roofline/MFU evidence)."""
     global _LAST_WINDOWS
     if windows is None and _LAST_WINDOWS:
         windows = list(_LAST_WINDOWS)
     _LAST_WINDOWS = []  # consume: metrics not using timed() stay clean
     line = json.dumps({
         "metric": metric,
-        "value": round(float(value), 1),
+        # 1 decimal for big throughputs; full precision for small values
+        # (ATE meters, ms) that 1-decimal rounding would destroy
+        "value": round(float(value), 1 if abs(float(value)) >= 100 else 6),
         "unit": unit,
         **({"vs_baseline": round(float(value) / baseline, 3)} if baseline else {}),
         **({"windows": [round(float(w), 6) for w in windows]} if windows else {}),
+        **(extra or {}),
     })
     print(line)
     sys.stdout.flush()
@@ -129,6 +207,29 @@ def stacked_scan_fixture(batch, num_beams=512, time_increment=0.0):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *scans)
 
 
+def bench_env():
+    """Environment diagnostic: the host<->device fetch round-trip on this
+    backend.  On the tunneled axon chip this is ~27 ms of pure link RTT —
+    the floor under every per-scan-fetch path (karto online mode) and the
+    reason pure-kernel metrics use chained windows.  On local TPU/CPU
+    backends it is microseconds; recording it in the artifact makes the
+    latency-bound metrics interpretable."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((8, 8))
+    f = jax.jit(lambda a: a + 1.0)
+    jax.device_get(f(x))
+    windows = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(10):
+            jax.device_get(f(x))
+        windows.append((time.perf_counter() - t0) / 10)
+    emit("tunnel_fetch_rtt_ms", min(windows) * 1e3, "ms/fetch",
+         windows=windows)
+
+
 def bench_hector(batch, iters):
     import contextlib
     import io
@@ -164,16 +265,22 @@ def bench_plicp(batch, iters):
     from tpuslam.core.config import PlicpConfig
     from tpuslam.match.plicp import plicp_batch
 
+    import jax
+
     pts, valid, _ = scan_fixtures(num_beams=512, batch=batch)
     cfg = PlicpConfig(num_beams=512)
     ref_pts = jnp.roll(pts, 1, axis=0)
     ref_valid = jnp.roll(valid, 1, axis=0)
     guesses = jnp.zeros((batch, 3))
-    dt = timed(
-        lambda: plicp_batch(cfg, pts, valid, ref_pts, ref_valid, guesses),
-        iters=iters,
-    )
-    emit("plicp_matches_per_sec", batch / dt, "matches/s")
+
+    # chained: each window's iterations feed the matched poses back into
+    # the next guesses (damped toward the original zeros), so the device
+    # executes every iteration before the one end-of-window fetch
+    step = jax.jit(lambda g: plicp_batch(
+        cfg, pts, valid, ref_pts, ref_valid, g).pose * 0.01 + g * 0.99)
+    dt = timed_chained(step, guesses, iters=iters)
+    emit("plicp_matches_per_sec", batch / dt, "matches/s",
+         extra=_roofline(step, (guesses,), batch / dt, batch))
 
 
 def bench_icp(batch, iters):
@@ -182,14 +289,17 @@ def bench_icp(batch, iters):
     from tpuslam.core.config import IcpConfig
     from tpuslam.match.icp import icp_batch
 
+    import jax
+
     pts, valid, _ = scan_fixtures(num_beams=512, batch=batch)
     cfg = IcpConfig(num_beams=512, max_iterations=10)
-    dt = timed(
-        lambda: icp_batch(cfg, pts, valid, jnp.roll(pts, 1, 0),
-                          jnp.roll(valid, 1, 0), jnp.zeros((batch, 3))),
-        iters=iters,
-    )
-    emit("icp_matches_per_sec", batch / dt, "matches/s")
+    dst, dst_valid = jnp.roll(pts, 1, 0), jnp.roll(valid, 1, 0)
+    g0 = jnp.zeros((batch, 3))
+    step = jax.jit(lambda g: icp_batch(
+        cfg, pts, valid, dst, dst_valid, g).pose * 0.01 + g * 0.99)
+    dt = timed_chained(step, g0, iters=iters)
+    emit("icp_matches_per_sec", batch / dt, "matches/s",
+         extra=_roofline(step, (g0,), batch / dt, batch))
 
 
 def bench_correlative(iters):
@@ -198,17 +308,21 @@ def bench_correlative(iters):
     from tpuslam.core import se2
     from tpuslam.match.correlative import CorrelativeSpec, match_scan
 
+    import jax
+
     spec = CorrelativeSpec(resolution=0.01, search_dim=0.3,
                            smear_deviation=0.03, range_threshold=12.0)
     pts, valid, _ = scan_fixtures(num_beams=512, batch=1)
     pts, valid = pts[0], valid[0]
     wpts = se2.transform_points(jnp.zeros(3), pts)
 
-    def one():
-        return match_scan(spec, jnp.zeros(3), pts, valid, wpts[None],
-                          valid[None]).pose
-
-    dt = timed(one, iters=iters)
+    # chained search centers (damped to stay inside the window) so one
+    # fetch settles a whole window of sequential matches
+    step = jax.jit(lambda c: match_scan(
+        spec, c, pts, valid, wpts[None], valid[None]).pose * 0.01 + c * 0.99)
+    # 30 chained iterations per window: the end-of-window fetch RTT
+    # amortizes to ~1 ms/iter against a ~5 ms device match
+    dt = timed_chained(step, jnp.zeros(3), iters=9 * iters)
     emit("correlative_matches_per_sec", 1.0 / dt, "matches/s")
 
 
@@ -234,11 +348,12 @@ def bench_loop_match(iters):
     base = jnp.asarray(base, jnp.float32)
     bvalid = jnp.ones((chain, nb), bool)
 
-    def one():
-        return match_scan(spec, jnp.zeros(3), local, valid, base, bvalid,
-                          penalize=False, refine=False).pose
+    import jax
 
-    dt = timed(one, iters=iters)
+    step = jax.jit(lambda c: match_scan(
+        spec, c, local, valid, base, bvalid,
+        penalize=False, refine=False).pose * 0.01 + c * 0.99)
+    dt = timed_chained(step, jnp.zeros(3), iters=9 * iters)
     emit("loop_match_per_sec", 1.0 / dt, "matches/s")
 
 
@@ -316,7 +431,7 @@ def bench_karto_online(n_scans=96):
     scans = [scan_at(0.002 * i) for i in range(n_scans + 16)]
     odoms = [np.array([0.002 * i, 0.0, 0.0]) for i in range(n_scans + 16)]
     rates = {}
-    for pipe in (False, True):
+    for pipe in (False, True, 4):
         mapper = KartoMapper(cfg, max_scans=2 * n_scans + 64)
         mapper.process_batch(scans[:16], odoms[:16], batch_size=1,
                              pipeline=pipe)  # warm/compile
@@ -324,11 +439,13 @@ def bench_karto_online(n_scans=96):
         mapper.process_batch(scans[16:], odoms[16:], batch_size=1,
                              pipeline=pipe)
         rates[pipe] = n_scans / (time.perf_counter() - t0)
-    emit("karto_online_scans_per_sec", rates[True], "scans/s",
-         windows=[rates[False], rates[True]])
+    # headline: the deepest pipeline; windows keep the shallower modes
+    # visible (unpipelined, two-deep, four-deep)
+    emit("karto_online_scans_per_sec", max(rates[True], rates[4]), "scans/s",
+         windows=[rates[False], rates[True], rates[4]])
 
 
-def bench_karto_realistic(n_scans=256):
+def bench_karto_realistic(n_scans=320, with_ate=True):
     """Honest end-to-end karto number: a REALISTIC circuit — rotation at
     every step, odometry noise, loop closing ON — in batch mode.  The
     straight-line `karto_scans_per_sec` fixture above is a device-
@@ -338,7 +455,17 @@ def bench_karto_realistic(n_scans=256):
     and pay for candidate search + loop matching + SPA corrections.
     Single timed run (a closure changes mapper state, so repeat runs of
     one mapper are not comparable; variance shows in windows as per-lap
-    splits)."""
+    splits).
+
+    Also records the accuracy north star (BASELINE.md): on the same
+    >=300-scan noisy circuit,
+    - ``ate_rmse_karto``            corrected trajectory vs simulator truth
+      (windows: [odometry-only ATE, matched-scan count] — the drift the
+      engine removed),
+    - ``ate_rmse_karto_vs_oracle``  corrected trajectory vs the
+      reference-exact f64 OracleMapper driven on the IDENTICAL stream —
+      the tracked "parity with what the C++ computes" number
+      (windows: [max pose deviation, oracle loop closures])."""
     import math
 
     from tpuslam.core.config import KartoConfig
@@ -369,13 +496,15 @@ def bench_karto_realistic(n_scans=256):
     radius, dth = 1.6, 2 * math.pi / 40
     true = np.array([radius, 0.0, math.pi / 2])
     odom = true.copy()
-    scans, odoms = [], []
+    scans, odoms, metas, trues = [], [], [], []
     for _ in range(n_scans):
         r, amin, ainc = simulate_scan(segs, true, num_beams=180,
                                       max_range=30.0)
         scans.append(make_scan(r, angle_min=amin, angle_increment=ainc,
                                range_min=0.1, range_max=30.0, num_beams=180))
         odoms.append(odom.copy())
+        metas.append((r, amin, ainc))
+        trues.append(true.copy())
         step = np.array([radius * dth, 0.0, dth])
         c, s = math.cos(true[2]), math.sin(true[2])
         true = np.array([true[0] + c * step[0] - s * step[1],
@@ -390,10 +519,14 @@ def bench_karto_realistic(n_scans=256):
                                     math.cos(odom[2] + n[2]))])
 
     mapper = KartoMapper(cfg, max_scans=n_scans + 64)
-    warm = 16
-    mapper.process_batch(scans[:warm], odoms[:warm], batch_size=16)
+    # warm over a full first lap (~40 scans): the near-chain link and
+    # loop-matcher cap-bucket programs first compile once chains/candidates
+    # exist (~scan 20+), and on tunneled backends those remote compiles
+    # would otherwise land inside the timed region
+    warm = min(48, n_scans // 2)
+    res_warm = mapper.process_batch(scans[:warm], odoms[:warm], batch_size=16)
     t0 = time.perf_counter()
-    mapper.process_batch(scans[warm:], odoms[warm:], batch_size=16)
+    res_main = mapper.process_batch(scans[warm:], odoms[warm:], batch_size=16)
     dt = time.perf_counter() - t0
     if mapper.stats["loop_closures"] == 0:
         print(json.dumps({"warning": "karto_realistic: no loop closures "
@@ -401,6 +534,87 @@ def bench_karto_realistic(n_scans=256):
                           "comparable"}))
     emit("karto_realistic_scans_per_sec", (n_scans - warm) / dt, "scans/s",
          windows=[dt, float(mapper.stats["loop_closures"])])
+
+    if not with_ate:
+        return
+    # ---- accuracy north star: ATE-RMSE on the corrected trajectory
+    proc_idx = [i for i, r in enumerate(res_warm + res_main) if r.processed]
+    n = len(mapper.records)
+    assert n == len(proc_idx)
+    tp = np.asarray(mapper.poses[:n], np.float64)
+    tt = np.stack([trues[i] for i in proc_idx])
+    to = np.stack([odoms[i] for i in proc_idx])
+    ate = float(np.sqrt(np.mean(np.sum((tp[:, :2] - tt[:, :2]) ** 2, 1))))
+    ate_odo = float(np.sqrt(np.mean(np.sum((to[:, :2] - tt[:, :2]) ** 2, 1))))
+    emit("ate_rmse_karto", ate, "m", windows=[ate_odo, float(n)])
+
+    # ---- parity north star: the IDENTICAL stream through the
+    # reference-exact f64 OracleMapper; RMSE between corrected
+    # trajectories = "distance from what the C++ computes"
+    from tpuslam.oracle import OracleMapper, OracleScan
+
+    om = OracleMapper(cfg)
+    proc_set = set(proc_idx)
+    for i in range(n_scans):
+        r, amin, ainc = metas[i]
+        processed = om.process(OracleScan(
+            r, amin, ainc, range_threshold=cfg.use_scan_range,
+            minimum_range=0.1, odom_pose=odoms[i],
+        ))
+        # gating is odometry/time-only on both sides — accept decisions
+        # must agree scan-for-scan or the trajectories are incomparable
+        assert processed == (i in proc_set), i
+    op = np.stack([s.corrected_pose for s in om.scans])
+    assert len(op) == n, (len(op), n)
+    dev = np.sqrt(np.sum((tp[:, :2] - op[:, :2]) ** 2, 1))
+    emit("ate_rmse_karto_vs_oracle", float(np.sqrt(np.mean(dev**2))), "m",
+         windows=[float(dev.max()), float(om.loop_closures)])
+
+
+def bench_ate_hector(n_scans=320):
+    """Accuracy north star for the hector engine: ATE-RMSE vs simulator
+    truth on a >=300-scan noisy circuit of the boxes world (no odometry —
+    hector tracks purely by scan-to-map matching, as the reference node
+    does).  windows: [worst per-scan error, matched-scan count]."""
+    import math
+
+    import jax.numpy as jnp
+
+    from tpuslam.core.config import HectorConfig
+    from tpuslam.core.scan import make_scan
+    from tpuslam.io.simulate import simulate_scan, world_with_boxes
+    from tpuslam.models import hector_slam
+
+    segs = world_with_boxes()
+    cfg = HectorConfig(
+        map_size=512, num_beams=360, ray_steps=512, laser_max_dist=25.0,
+        map_update_distance_thresh=0.1, map_update_angle_thresh=0.15,
+    )
+    radius, dth = 1.6, 2 * math.pi / 80  # 4 laps at n_scans=320
+    true = np.array([radius, 0.0, math.pi / 2])
+    st = hector_slam.init_state(cfg)
+    st = st._replace(pose=jnp.asarray(true, jnp.float32))
+    poses, trues = [], []
+    for i in range(n_scans):
+        r, amin, ainc = simulate_scan(segs, true, num_beams=360,
+                                      max_range=30.0)
+        sc = make_scan(r, angle_min=amin, angle_increment=ainc,
+                       range_min=0.1, range_max=30.0, num_beams=360)
+        st, _ = hector_slam.step(cfg, st, sc,
+                                 map_without_matching=(i == 0))
+        poses.append(np.asarray(st.pose, np.float64))
+        trues.append(true.copy())
+        step = np.array([radius * dth, 0.0, dth])
+        c, s = math.cos(true[2]), math.sin(true[2])
+        true = np.array([true[0] + c * step[0] - s * step[1],
+                         true[1] + s * step[0] + c * step[1],
+                         math.atan2(math.sin(true[2] + step[2]),
+                                    math.cos(true[2] + step[2]))])
+    tp = np.stack(poses)
+    tt = np.stack(trues)
+    err = np.sqrt(np.sum((tp[:, :2] - tt[:, :2]) ** 2, 1))
+    emit("ate_rmse_hector", float(np.sqrt(np.mean(err**2))), "m",
+         windows=[float(err.max()), float(n_scans)])
 
 
 def bench_grid(batch, iters):
@@ -431,7 +645,9 @@ def bench_grid(batch, iters):
         lo, _ = jax.lax.scan(body, lo, (pts, valid, jposes))
         return lo
 
-    dt = timed(run, lo, iters=iters)
+    # the grid itself is the carry: each window's updates chain through
+    # the previous window's log-odds (values saturate; work is identical)
+    dt = timed_chained(run, lo, iters=iters)
     cells = batch * 512 * 120  # ~120 free cells per 6 m beam at 5 cm
     emit("grid_cell_updates_per_sec", cells / dt, "cells/s (approx)")
 
@@ -447,12 +663,13 @@ def bench_features(batch, iters):
     stacked = stacked_scan_fixture(batch)
     cfg = FeatureConfig()
 
-    # fetch a scalar reduction: the [batch, B] outputs are ~2 MB and the
-    # tunneled host link (~100 MB/s) would dominate the measurement; the
-    # sum forces the full computation
-    run = jax.jit(lambda s: jax.tree.map(
-        jnp.sum, extract_features(cfg, s).curvature))
-    dt = timed(lambda: run(stacked), iters=iters)
+    # scalar-reduced, chained: the summed curvature is the carry, fed back
+    # as a data-dependent zero on the input ranges (dep0), so one fetch
+    # settles a whole window without the [batch, B] outputs or the
+    # per-fetch tunnel RTT entering the measurement
+    step = jax.jit(lambda s: jnp.sum(extract_features(
+        cfg, stacked._replace(ranges=stacked.ranges + dep0(s))).curvature))
+    dt = timed_chained(step, jnp.float32(0.0), iters=9 * iters)
     emit("feature_extracts_per_sec", batch / dt, "scans/s")
 
 
@@ -472,11 +689,11 @@ def bench_undistort(batch, iters):
                           np.full(16, 0.3, np.float32), 64)
     rel = jnp.asarray([0.05, 0.0, 0.03], jnp.float32)
 
-    # scalar-reduced fetch (see bench_features)
-    run = jax.jit(lambda st: jnp.sum(jax.vmap(
+    # scalar-reduced, chained (see bench_features)
+    step = jax.jit(lambda s: jnp.sum(jax.vmap(
         lambda sc: undistort(cfg, sc, imu, rel, 0.0, 0.1)[0]
-    )(st)))
-    dt = timed(lambda: run(stacked), iters=iters)
+    )(stacked._replace(ranges=stacked.ranges + dep0(s)))))
+    dt = timed_chained(step, jnp.float32(0.0), iters=9 * iters)
     emit("undistorts_per_sec", batch / dt, "scans/s")
 
 
@@ -535,6 +752,7 @@ def bench_bag_ingest(n_scans, iters):
 
 
 def bench_solver(iters):
+    import jax
     import jax.numpy as jnp
 
     from tpuslam.graph.backends import graph_from_edges
@@ -548,7 +766,11 @@ def bench_solver(iters):
     edges += [(i, i + 50, np.array([5.0, 0, 0]), prec)
               for i in range(0, n - 50, 97)]
     g = graph_from_edges(poses, edges)
-    dt = timed(lambda: optimize(g, num_iters=20, cg_iters=40)[0], iters=iters)
+    # chained via dep0 so every optimize() starts from the SAME noisy
+    # init (identical work per iteration) but depends on the previous run
+    step = jax.jit(lambda s: optimize(
+        g._replace(poses=g.poses + dep0(s)), num_iters=20, cg_iters=40)[0])
+    dt = timed_chained(step, jnp.zeros((n, 3), jnp.float32), iters=iters)
     emit("solver_edge_updates_per_sec", len(edges) * 20 / dt, "edge-iters/s")
 
 
@@ -568,6 +790,7 @@ def main():
     batch = 256 if args.quick else 1024
     iters = 3 if args.quick else 10
 
+    bench_env()
     bench_hector(batch, iters)
     bench_plicp(batch, iters)
     bench_icp(batch, iters)
@@ -575,7 +798,8 @@ def main():
     bench_loop_match(iters)
     bench_karto_pipeline(64 if args.quick else 256)
     bench_karto_online(32 if args.quick else 96)
-    bench_karto_realistic(96 if args.quick else 256)
+    bench_karto_realistic(96 if args.quick else 320)
+    bench_ate_hector(96 if args.quick else 320)
     bench_grid(64 if args.quick else 256, iters)
     bench_features(batch, iters)
     bench_undistort(batch, iters)

@@ -970,3 +970,102 @@ class TestPclIcpOracleParity:
         assert ores.converged and ores.state in ("TRANSFORM", "ABS_MSE")
         assert np.allclose(ores.x, 0.0, atol=1e-9)
         assert np.allclose(np.asarray(tres.pose), 0.0, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline parity under stress: lossy streams and multiple sensors
+# ---------------------------------------------------------------------------
+
+
+def test_pipeline_parity_lossy_loop_closure():
+    """The FULL KartoMapper vs OracleMapper on a loop-closing circuit whose
+    every scan has 15% NaN dropouts: accept/reject decisions, the loop
+    closure itself, and the post-solver trajectories must still agree.
+
+    This is the stress companion of test_pipeline_parity_loop_closure:
+    dropout beams stay in the response denominator on both sides
+    (unfiltered readings, Karto.h:5336-5355), so responses are depressed
+    identically and the tuned accept thresholds fire identically."""
+    rng = np.random.default_rng(29)
+    world = world_with_boxes()
+    cfg = dataclasses.replace(
+        CFG, use_scan_range=10.0, use_response_expansion=True
+    )
+    m = KartoMapper(cfg, max_scans=64)
+    om = OracleMapper(cfg)
+    radius = 1.6
+    true = np.array([radius, 0.0, math.pi / 2])
+    odom = true.copy()
+    closed_t = closed_o = False
+    for i in range(46):
+        r, amin, ainc = simulate_scan(
+            world, true, num_beams=NB, max_range=30.0
+        )
+        r = r.copy()
+        r[rng.random(NB) < 0.15] = np.nan  # 15% dropouts, identical sides
+        res = m.process(
+            make_scan(r, angle_min=amin, angle_increment=ainc,
+                      range_min=0.1, range_max=30.0, num_beams=NB),
+            odom, time=0.0,
+        )
+        o = OracleScan(r, amin, ainc, range_threshold=10.0,
+                       minimum_range=0.1, odom_pose=odom)
+        processed_o = om.process(o)
+        assert res.processed == processed_o, i
+        closed_t |= res.loop_closed
+        closed_o |= om.loop_closures > 0
+        dth = 2 * math.pi / 40
+        step = np.array([radius * dth, 0.0, dth])
+        true = _np_compose(true, step)
+        odom = _np_compose(odom, step + rng.normal(0, [0.01, 0.01, 0.005]))
+    assert closed_o, "oracle never closed the lossy loop — fixture broke"
+    assert closed_t == closed_o
+    n = len(m.records)
+    assert n == len(om.scans)
+    tp = m.poses[:n]
+    op = np.stack([s.corrected_pose for s in om.scans])
+    dp = np.hypot(*(tp[:, :2] - op[:, :2]).T)
+    # same bound class as the clean test — worst case one coarse lattice
+    # step of f32/f64 tie resolution — but on lossy streams the depressed
+    # responses make near-ties common, and ONE early tie resolving a fine
+    # cell apart shifts every downstream pose by that cell (the chain
+    # matches against the shifted grid): the bulk bound is therefore one
+    # ~fine-resolution step rather than the clean test's millimeters,
+    # while the max stays bounded (the deviation must not GROW)
+    assert dp.max() < 2.5 * CFG.correlation_search_space_resolution, dp.max()
+    assert np.median(dp) < 1.5 * CFG.correlation_search_space_resolution, (
+        np.median(dp)
+    )
+
+
+def test_pipeline_parity_multi_sensor():
+    """Two lasers interleaved through the same mapper: per-sensor running
+    chains, first-scan handling, and cross-sensor behavior must agree
+    with the oracle scan-for-scan (the oracle tracks ``sensor`` exactly
+    as karto's per-device MapperSensorManager does)."""
+    rng = np.random.default_rng(31)
+    m = KartoMapper(CFG, max_scans=32)
+    om = OracleMapper(CFG)
+    true = np.zeros(3)
+    odom = np.zeros(3)
+    max_dp = 0.0
+    for i in range(12):
+        sensor = "laser0" if i % 2 == 0 else "laser1"
+        r, amin, ainc = ranges_at(true)
+        res = m.process(tpuslam_scan(r, amin, ainc), odom, time=0.0,
+                        sensor=sensor)
+        o = OracleScan(r, amin, ainc, range_threshold=THR,
+                       minimum_range=0.1, odom_pose=odom, sensor=sensor)
+        processed_o = om.process(o)
+        assert res.processed == processed_o, (i, sensor)
+        if res.processed:
+            # compare against the oracle scan just added for this sensor
+            osc = om.scans_by_sensor[sensor][-1]
+            dp = np.hypot(*(res.pose[:2] - osc.corrected_pose[:2]))
+            dth = abs(se2.wrap_angle(res.pose[2] - osc.corrected_pose[2]))
+            max_dp = max(max_dp, dp)
+            assert dth < 1.5 * CFG.fine_search_angle_offset, (i, dth)
+        step = np.array([0.25, 0.0, 0.1])
+        true = _np_compose(true, step)
+        odom = _np_compose(odom, step + rng.normal(0, [0.01, 0.01, 0.005]))
+    assert max_dp < 0.5 * CFG.correlation_search_space_resolution, max_dp

@@ -279,3 +279,52 @@ def test_karto_loop_closure_with_sharded_lattice():
     assert m_ref.stats["loop_closures"] == m_sh.stats["loop_closures"]
     n = len(m_ref.records)
     np.testing.assert_allclose(m_sh.poses[:n], m_ref.poses[:n], atol=1e-4)
+
+
+def test_karto_sharded_parallel_batch_matches_unsharded():
+    """KartoMapper(batch_mesh=...) process_batch(parallel=True): the
+    scan-axis-sharded flush program produces the same trajectory as the
+    single-device program (each scan's match computes whole on one shard,
+    so results are bit-comparable up to XLA reduction layout)."""
+    import math
+
+    from tpuslam.core.config import KartoConfig
+    from tpuslam.io.simulate import simulate_scan as sim, world_with_boxes
+    from tpuslam.models.karto import KartoMapper, _np_compose
+
+    segs = world_with_boxes()
+    cfg = KartoConfig(
+        num_beams=96, use_scan_range=6.0,
+        minimum_travel_distance=0.0, minimum_travel_heading=0.0,
+        minimum_time_interval=0.0, scan_buffer_size=8,
+        scan_buffer_maximum_scan_distance=10.0,
+        correlation_search_space_dimension=0.32,
+        correlation_search_space_resolution=0.02,
+        correlation_search_space_smear_deviation=0.04,
+        do_loop_closing=False,
+    )
+    mesh = make_mesh(8, axis="scan")
+    rng = np.random.default_rng(3)
+    true = np.zeros(3)
+    odom = np.zeros(3)
+    scans, odoms = [], []
+    for _ in range(17):  # 1 first-scan + 16 batched (2 flushes of 8)
+        r, amin, ainc = sim(segs, true, num_beams=96, max_range=30.0)
+        scans.append(make_scan(r, angle_min=amin, angle_increment=ainc,
+                               range_min=0.1, range_max=30.0, num_beams=96))
+        odoms.append(odom.copy())
+        step = np.array([0.08, 0.0, 0.04])
+        true = _np_compose(true, step)
+        odom = _np_compose(odom, step + rng.normal(0, [0.004, 0.004, 0.002]))
+
+    m_ref = KartoMapper(cfg, max_scans=32)
+    m_sh = KartoMapper(cfg, max_scans=32, batch_mesh=mesh)
+    assert m_sh._sharded_parallel_steps is not None
+    r_ref = m_ref.process_batch(scans, odoms, batch_size=8, parallel=True)
+    r_sh = m_sh.process_batch(scans, odoms, batch_size=8, parallel=True)
+    assert [r.processed for r in r_ref] == [r.processed for r in r_sh]
+    n = len(m_ref.records)
+    assert n == len(m_sh.records) == 17
+    np.testing.assert_allclose(
+        m_sh.poses[:n], m_ref.poses[:n], atol=1e-5
+    )

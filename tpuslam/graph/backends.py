@@ -107,27 +107,32 @@ def graph_from_edges(
     n, e = len(poses), len(edges)
     cap_n = max(min_nodes, 1 << max(4, (max(n, 1) - 1).bit_length()))
     cap_e = max(min_edges, 1 << max(4, (max(e, 1) - 1).bit_length()))
-    g = empty_graph(cap_n, cap_e)
-    if n == 0:
-        return g
-    g = g._replace(
-        poses=g.poses.at[:n].set(jnp.asarray(poses[:n], jnp.float32)),
-        node_mask=g.node_mask.at[:n].set(True),
-    )
-    if e == 0:
-        return g
-    return g._replace(
-        edge_i=g.edge_i.at[:e].set(
-            jnp.asarray([x[0] for x in edges], jnp.int32)
-        ),
-        edge_j=g.edge_j.at[:e].set(
-            jnp.asarray([x[1] for x in edges], jnp.int32)
-        ),
-        measurements=g.measurements.at[:e].set(
-            jnp.asarray([x[2] for x in edges], jnp.float32)
-        ),
-        precisions=g.precisions.at[:e].set(
-            jnp.asarray([x[3] for x in edges], jnp.float32)
-        ),
-        edge_mask=g.edge_mask.at[:e].set(True),
+    # build the padded arrays HOST-SIDE: the previous eager
+    # ``.at[:n].set`` formulation compiled a fresh device program for
+    # every distinct (n, e) slice shape — one remote compile per
+    # correct_poses call on tunneled backends; NumPy fill + one
+    # device_put per field never compiles
+    p = np.zeros((cap_n, 3), np.float32)
+    node_mask = np.zeros(cap_n, bool)
+    p[:n] = np.asarray(poses[:n], np.float32)
+    node_mask[:n] = True
+    edge_i = np.zeros(cap_e, np.int32)
+    edge_j = np.zeros(cap_e, np.int32)
+    meas = np.zeros((cap_e, 3), np.float32)
+    prec = np.zeros((cap_e, 3, 3), np.float32)
+    edge_mask = np.zeros(cap_e, bool)
+    if e:
+        edge_i[:e] = [x[0] for x in edges]
+        edge_j[:e] = [x[1] for x in edges]
+        meas[:e] = np.asarray([x[2] for x in edges], np.float32)
+        prec[:e] = np.asarray([x[3] for x in edges], np.float32)
+        edge_mask[:e] = True
+    return PoseGraph(
+        poses=jnp.asarray(p),
+        node_mask=jnp.asarray(node_mask),
+        edge_i=jnp.asarray(edge_i),
+        edge_j=jnp.asarray(edge_j),
+        measurements=jnp.asarray(meas),
+        precisions=jnp.asarray(prec),
+        edge_mask=jnp.asarray(edge_mask),
     )

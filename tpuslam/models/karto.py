@@ -131,6 +131,53 @@ def _fused_seq_step(
     return pts_store, valid_store, mean_local, res.pose, res.response, res.covariance
 
 
+@jax.jit
+def _merge_inflight_poses(host_poses, dev_poses, lo, hi):
+    """Overlay the in-flight span [lo, hi) of the device pose store onto
+    the host-corrected poses, and extract the chain-start pose (hi-1).
+    A single fixed-shape program: the eager ``.at[lo:hi].set`` form
+    compiled a fresh dynamic_update_slice for every distinct span, one
+    remote compile per pipelined flush."""
+    i = jnp.arange(host_poses.shape[0])[:, None]
+    merged = jnp.where((i >= lo) & (i < hi), dev_poses, host_poses)
+    return merged, merged[hi - 1]
+
+
+@partial(jax.jit, static_argnames=("spec", "penalize", "refine"))
+def _gather_match(
+    spec,
+    pts_store,  # [M, B, 2] device-resident scan store
+    valid_store,  # [M, B]
+    chain_idx,  # [cap] chain scan ids (zero-padded)
+    chain_len,  # scalar int32
+    chain_poses,  # [cap, 3] chain poses (zero-padded)
+    center,  # [3] search center
+    sid,  # scalar int32 — the query scan id
+    penalize: bool,
+    refine: bool,
+):
+    """Chain gather + world transform + MatchScan as ONE device program
+    (the loop-closure / link / expansion-retry matching path — the
+    sequential per-scan path is :func:`_fused_seq_step`).  One compile
+    per (spec, cap) bucket and one dispatch per match; the previous eager
+    formulation paid ~15 remote op-compiles for every new chain length."""
+    cap = chain_idx.shape[0]
+    cpts = jnp.take(pts_store, chain_idx, axis=0)
+    cvalid = jnp.take(valid_store, chain_idx, axis=0)
+    cvalid = cvalid & (jnp.arange(cap) < chain_len)[:, None]
+    wpts = se2.transform_points(chain_poses, cpts)
+    return match_scan(
+        spec,
+        center,
+        pts_store[sid],
+        valid_store[sid],
+        wpts,
+        cvalid,
+        penalize=penalize,
+        refine=refine,
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=("spec", "max_range"),
@@ -197,12 +244,7 @@ def _fused_batch_steps(
     return pts_store, valid_store, poses_store, outs
 
 
-@partial(
-    jax.jit,
-    static_argnames=("spec", "max_range"),
-    donate_argnums=(1, 2),
-)
-def _fused_parallel_steps(
+def _parallel_steps_impl(
     spec,
     pts_store,  # [M, B, 2] (donated)
     valid_store,  # [M, B] (donated)
@@ -254,6 +296,34 @@ def _fused_parallel_steps(
     return pts_store, valid_store, (poses_k, resp_k, cov_k, mean_local)
 
 
+_fused_parallel_steps = partial(
+    jax.jit,
+    static_argnames=("spec", "max_range"),
+    donate_argnums=(1, 2),
+)(_parallel_steps_impl)
+
+
+def _make_sharded_parallel_steps(mesh, axis: str = "scan"):
+    """jit :func:`_parallel_steps_impl` with the flush's scan axis sharded
+    over ``mesh[axis]`` (SURVEY §2.3's data-parallel axis for karto): scan
+    stores and the spec are replicated, every per-scan input/output row is
+    distributed, and XLA inserts the collectives (the store scatter's
+    all-gather rides ICI).  Bit-identical per scan to the unsharded jit —
+    each scan's match is computed whole on one shard."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    row = NamedSharding(mesh, P(axis))
+    scan_sh = Scan(ranges=row, angles=row, valid=row, stamps=row)
+    return jax.jit(
+        _parallel_steps_impl,
+        static_argnames=("spec", "max_range"),
+        donate_argnums=(1, 2),
+        in_shardings=(rep, rep, rep, scan_sh, row, row, row, row),
+        out_shardings=(rep, rep, (row, row, row, row)),
+    )
+
+
 @jax.jit
 def _stack_scans(scans_tuple):
     """Stack K Scans into one [K, B] Scan in a single dispatch (four
@@ -287,10 +357,19 @@ class KartoMapper:
         events=None,
         loop_mesh=None,
         loop_mesh_axis: str = "lattice",
+        batch_mesh=None,
+        batch_mesh_axis: str = "scan",
     ):
         """events: optional tpuslam.utils.events.EventBus — receives the
         reference's MapperListener stream (loop_closure_check,
         begin/end_loop_closure, poses_corrected; Mapper.cpp:2142-2218).
+
+        batch_mesh: optional jax.sharding.Mesh — distributes
+        ``process_batch(parallel=True)`` flushes over
+        ``batch_mesh[batch_mesh_axis]`` (one scan's match per shard row,
+        stores replicated; SURVEY §2.3's data-parallel axis for offline
+        bag throughput).  Flushes whose size does not divide the mesh
+        axis fall back to the single-device program for that flush.
 
         loop_mesh: optional jax.sharding.Mesh — shards the loop matcher's
         candidate angle lattice over ``loop_mesh[loop_mesh_axis]``
@@ -357,6 +436,13 @@ class KartoMapper:
                 self.loop_spec, loop_mesh, loop_mesh_axis,
                 penalize=False, refine=False,
             )
+        self._sharded_parallel_steps = None
+        self._batch_mesh_size = 0
+        if batch_mesh is not None:
+            self._sharded_parallel_steps = _make_sharded_parallel_steps(
+                batch_mesh, batch_mesh_axis
+            )
+            self._batch_mesh_size = int(batch_mesh.shape[batch_mesh_axis])
 
         b = cfg.num_beams
         # device-side scan store (local sensor-frame points, fixed capacity)
@@ -430,34 +516,52 @@ class KartoMapper:
             cap *= 2
         return cap
 
+    def _match_args(self, ids: list[int], cap: int):
+        """Host-side (NumPy) padded chain index/pose arrays for the fused
+        gather+match program — no eager device ops, so a new chain length
+        costs zero compiles (only a new CAP bucket compiles, once)."""
+        idx = np.zeros(cap, np.int32)
+        idx[: len(ids)] = ids
+        poses = np.zeros((cap, 3), np.float32)
+        if ids:
+            poses[: len(ids)] = self.poses[np.asarray(ids, np.int64)]
+        return jnp.asarray(idx), jnp.int32(len(ids)), jnp.asarray(poses)
+
     def _gather_chain(self, ids: list[int], cap: int):
-        """Pad a scan chain to ``cap`` for the static-shape matcher."""
+        """Pad a scan chain to ``cap`` for the static-shape matcher
+        (sharded loop path; the standard path fuses this into
+        :func:`_gather_match`).  Every eager op here has a cap-bucketed
+        shape with traced scalar operands, so nothing recompiles per
+        chain length."""
         if len(ids) > cap:
             raise ValueError(
                 f"chain of {len(ids)} scans exceeds capacity {cap}; pass "
                 f"cap=None to _match for an auto-sized capacity"
             )
-        idx = jnp.asarray(
-            np.pad(np.asarray(ids, np.int32), (0, cap - len(ids))), jnp.int32
-        )
+        idx, n, poses = self._match_args(ids, cap)
         pts = jnp.take(self._pts, idx, axis=0)
         valid = jnp.take(self._valid, idx, axis=0)
-        valid = valid & (jnp.arange(cap) < len(ids))[:, None]
-        poses = jnp.asarray(self.poses[np.asarray(ids)], jnp.float32)
-        if len(ids) < cap:
-            poses = jnp.concatenate(
-                [poses, jnp.zeros((cap - len(ids), 3), jnp.float32)]
-            )
+        valid = valid & (jnp.arange(cap) < n)[:, None]
         wpts = se2.transform_points(poses, pts)
         return wpts, valid
 
-    def _match(
+    def _match_async(
         self, spec, sid: int, center: np.ndarray, chain: list[int],
         cap: int | None, penalize: bool, refine: bool,
     ):
+        """Dispatch one chain match; NO host fetch.  Returns the
+        device-resident CorrelativeResult with its device->host copy
+        already started — callers batch several dispatches and settle
+        them with ONE ``jax.device_get`` so the tunnel round-trips
+        overlap (LinkNearChains runs ~2 matches per scan; serial fetches
+        made it the realistic-workload bottleneck)."""
         if cap is None:
             cap = self._chain_cap(len(chain))
-        wpts, valid = self._gather_chain(chain, cap)
+        if len(chain) > cap:
+            raise ValueError(
+                f"chain of {len(chain)} scans exceeds capacity {cap}; pass "
+                f"cap=None to _match for an auto-sized capacity"
+            )
         if (
             self._sharded_loop_match is not None
             and spec is self.loop_spec
@@ -465,29 +569,69 @@ class KartoMapper:
             and not refine
         ):
             # multi-chip loop search: coarse lattice sharded over the mesh
+            wpts, valid = self._gather_chain(chain, cap)
+            # traced index: python-int indexing bakes a static slice and
+            # recompiles the eager gather for every distinct sid
+            qsid = jnp.int32(sid)
             res = self._sharded_loop_match(
                 jnp.asarray(center, jnp.float32),
-                self._pts[sid],
-                self._valid[sid],
+                jax.lax.dynamic_index_in_dim(self._pts, qsid, keepdims=False),
+                jax.lax.dynamic_index_in_dim(
+                    self._valid, qsid, keepdims=False
+                ),
                 wpts,
                 valid,
             )
         else:
-            res = match_scan(
+            # one fused program per (spec, cap, penalize, refine) bucket:
+            # the chain gather, world transform, and match run as a single
+            # dispatch — eager prep ops here previously cost ~15 remote
+            # compiles per new chain length (~0.45 s each on the tunneled
+            # backend), dominating loop-closure wall time
+            idx, n, poses = self._match_args(chain, cap)
+            res = _gather_match(
                 spec,
+                self._pts,
+                self._valid,
+                idx,
+                n,
+                poses,
                 jnp.asarray(center, jnp.float32),
-                self._pts[sid],
-                self._valid[sid],
-                wpts,
-                valid,
+                jnp.int32(sid),
                 penalize=penalize,
                 refine=refine,
             )
-        return (
-            np.asarray(res.pose, np.float64),
-            float(res.response),
-            np.asarray(res.covariance, np.float64),
+        for leaf in (res.pose, res.response, res.covariance):
+            try:
+                leaf.copy_to_host_async()
+            except Exception:  # backend without async host copies
+                break
+        return res
+
+    @staticmethod
+    def _fetch_matches(results):
+        """Settle a batch of :meth:`_match_async` results with ONE host
+        fetch; returns [(pose f64, response float, cov f64), ...]."""
+        fetched = jax.device_get(
+            [(r.pose, r.response, r.covariance) for r in results]
         )
+        return [
+            (
+                np.asarray(pose, np.float64),
+                float(resp),
+                np.asarray(cov, np.float64),
+            )
+            for pose, resp, cov in fetched
+        ]
+
+    def _match(
+        self, spec, sid: int, center: np.ndarray, chain: list[int],
+        cap: int | None, penalize: bool, refine: bool,
+    ):
+        res = self._match_async(
+            spec, sid, center, chain, cap, penalize, refine
+        )
+        return self._fetch_matches([res])[0]
 
     def _add_edge(self, i: int, j: int, mean: np.ndarray, cov: np.ndarray):
         """LinkScans (Mapper.cpp:1105-1121): constraint = from-pose → mean,
@@ -759,19 +903,25 @@ class KartoMapper:
                         covs.append(cov_o)
 
             # near chains, unconditionally (LinkNearChains, Mapper.cpp:965;
-            # chains containing sid are invalid, match is unpenalized)
-            for chain in self._find_near_chains(sid):
-                if len(chain) < cfg.loop_match_minimum_chain_size:
-                    continue
-                mean_c, resp_c, cov_c = self._match(
-                    self.seq_spec,
-                    sid,
-                    self.poses[sid],
-                    chain,
-                    None,
-                    penalize=False,
-                    refine=True,
+            # chains containing sid are invalid, match is unpenalized).
+            # All chains' matches share the same center pose (fusion
+            # applies after the loop), so they are dispatched together and
+            # settled with ONE host fetch — the serial per-chain fetch
+            # paid the tunnel round-trip per chain
+            chains = [
+                c for c in self._find_near_chains(sid)
+                if len(c) >= cfg.loop_match_minimum_chain_size
+            ]
+            ress = [
+                self._match_async(
+                    self.seq_spec, sid, self.poses[sid], c, None,
+                    penalize=False, refine=True,
                 )
+                for c in chains
+            ]
+            for chain, (mean_c, resp_c, cov_c) in zip(
+                chains, self._fetch_matches(ress)
+            ):
                 if resp_c > cfg.link_match_minimum_response_fine - 1e-9:
                     means.append(mean_c)
                     covs.append(cov_c)
@@ -816,7 +966,7 @@ class KartoMapper:
         sensor: str = "laser0",
         batch_size: int = 16,
         parallel: bool = False,
-        pipeline: bool = False,
+        pipeline: bool | int = False,
     ) -> list[ProcessResult]:
         """Offline (bag-playback) processing: the device side of up to
         ``batch_size`` consecutive scans runs as ONE dispatch
@@ -859,13 +1009,17 @@ class KartoMapper:
         ``pipeline=True`` (sequential mode only) keeps TWO flushes in
         flight: batch k+1 is dispatched BEFORE batch k's results are
         fetched, hiding the PJRT round-trip (the dominant per-flush cost
-        on tunneled backends at small batch sizes).  Batch k+1's chain
-        poses for batch-k scans come from the device-resident matched
-        poses; host-side corrections (weighted-mean fusion, loop-closure
-        writebacks, and the response-expansion retry's corrected poses)
-        land one flush later than in the unpipelined path — the same
-        class of bounded deferral as the in-batch semantics above, now
-        spanning two flushes.
+        on tunneled backends at small batch sizes).  ``pipeline=N`` (int
+        >= 2) deepens this to N flushes in flight; every dispatched
+        flush's outputs begin an async device->host copy immediately, so
+        the fetch round-trips of the in-flight flushes overlap.  Batch
+        k+1's chain poses for in-flight scans come from the
+        device-resident matched poses; host-side corrections
+        (weighted-mean fusion, loop-closure writebacks, and the
+        response-expansion retry's corrected poses) land up to N-1
+        flushes later than in the unpipelined path — the same class of
+        bounded deferral as the in-batch semantics above, now spanning N
+        flushes.
         """
         cfg = self.cfg
         n_in = len(scans)
@@ -896,19 +1050,29 @@ class KartoMapper:
                 batch_spec, response_method="patch"
             )
 
-        # two-deep pipeline state: the dispatched-but-unfetched flush
-        inflight: dict | None = None
+        # pipeline state: dispatched-but-unfetched flushes, oldest first.
+        # ``pipeline=True`` keeps ONE flush in flight (the classic two-deep
+        # pipeline); ``pipeline=N`` (int >= 2) keeps N-1 in flight.  Each
+        # dispatched flush's outputs start an ASYNC device->host copy
+        # immediately (see dispatch), so on high-latency links the
+        # round-trips of several in-flight fetches overlap instead of
+        # serializing — host corrections land up to N-1 flushes later
+        # (the same bounded deferral as depth 2, widened).
+        depth = 2 if pipeline is True else int(pipeline or 0)
+        if pipeline is not False and pipeline is not True and depth < 2:
+            raise ValueError("pipeline must be False, True, or an int >= 2")
+        inflight: list[dict] = []
 
         def dispatch(pend: list[int]) -> dict:
             """Build inputs + issue the fused device program; NO fetch."""
             k = len(pend)
-            # sids continue past any inflight batch (records not yet added)
-            n_inflight = len(inflight["pending"]) if inflight else 0
+            # sids continue past any inflight batches (records not yet added)
+            n_inflight = sum(len(r["pending"]) for r in inflight)
             sid0 = self._num() + n_inflight
             cap = cfg.scan_buffer_size
             running = self.running_by_sensor.setdefault(sensor, [])
             if inflight:
-                prev_odom = inflight["odom_last"]
+                prev_odom = inflight[-1]["odom_last"]
             else:
                 last_id = self.last_by_sensor[sensor]
                 prev_odom = self.records[last_id].odom_pose
@@ -924,10 +1088,10 @@ class KartoMapper:
             # the span-rule simulation below, and are reused by the NEXT
             # dispatch while this flush is still in flight (pipeline=True).
             if inflight:
-                prev_pose = inflight["pred_poses"][-1]
-                pred_prior = dict(
-                    zip(inflight["sids"], inflight["pred_poses"])
-                )
+                prev_pose = inflight[-1]["pred_poses"][-1]
+                pred_prior = {}
+                for r in inflight:
+                    pred_prior.update(zip(r["sids"], r["pred_poses"]))
             else:
                 prev_pose = np.asarray(
                     self.poses[self.last_by_sensor[sensor]], np.float64
@@ -965,12 +1129,12 @@ class KartoMapper:
                 ) > max_span2:
                     sim.pop(0)
 
-            # the authoritative `running` covers finished scans only; an
-            # in-flight flush's adds are replayed on top of it (with their
+            # the authoritative `running` covers finished scans only; the
+            # in-flight flushes' adds are replayed on top of it (with their
             # predicted positions) before this flush's chains are built
             sim = list(running)
-            if inflight:
-                for s in inflight["sids"]:
+            for r in inflight:
+                for s in r["sids"]:
                     _add_running(sim, s)
             chain_idx = np.zeros((k, cap), np.int32)
             chain_len = np.zeros(k, np.int32)
@@ -984,11 +1148,17 @@ class KartoMapper:
                 pose_lookup = self.poses[: self.max_scans].astype(np.float32)
                 pose_lookup[sid0 : sid0 + k] = centers
                 chain_poses = pose_lookup[chain_idx]  # [k, cap, 3]
+                fn = _fused_parallel_steps
+                if (
+                    self._sharded_parallel_steps is not None
+                    and k % self._batch_mesh_size == 0
+                ):
+                    fn = self._sharded_parallel_steps
                 (
                     self._pts,
                     self._valid,
                     (poses_k, resp_k, cov_k, mean_k),
-                ) = _fused_parallel_steps(
+                ) = fn(
                     batch_spec,
                     self._pts,
                     self._valid,
@@ -998,21 +1168,25 @@ class KartoMapper:
                     jnp.asarray(chain_idx),
                     jnp.asarray(chain_len),
                     jnp.asarray(chain_poses),
-                    max_range=cfg.use_scan_range,
+                    # positional: pjit rejects kwargs when in_shardings is
+                    # set (the sharded fn path)
+                    cfg.use_scan_range,
                 )
             else:
                 poses_host = jnp.asarray(
                     self.poses[: self.max_scans], jnp.float32
                 )
                 if inflight:
-                    # host poses lack the inflight batch's matches: merge
-                    # them in from the device-resident store, and chain
-                    # from the device-matched last pose
-                    s0, k0 = inflight["sid0"], len(inflight["pending"])
-                    poses_in = poses_host.at[s0 : s0 + k0].set(
-                        self._poses_dev[s0 : s0 + k0]
+                    # host poses lack the inflight batches' matches: merge
+                    # them in from the device-resident store (cumulative —
+                    # the last dispatch's _poses_dev holds every earlier
+                    # flush's matches), and chain from the device-matched
+                    # last pose
+                    s0 = inflight[0]["sid0"]
+                    poses_in, start_pose = _merge_inflight_poses(
+                        poses_host, self._poses_dev,
+                        jnp.int32(s0), jnp.int32(sid0),
                     )
-                    start_pose = self._poses_dev[sid0 - 1]
                 else:
                     poses_in = poses_host
                     start_pose = jnp.asarray(
@@ -1036,6 +1210,15 @@ class KartoMapper:
                     start_pose,
                     max_range=cfg.use_scan_range,
                 )
+            # start the device->host copy of this flush's outputs NOW:
+            # by finish() time the transfer is already in flight (or done),
+            # so pipelined fetch round-trips overlap with later dispatches
+            # instead of serializing behind them
+            for leaf in (poses_k, resp_k, cov_k, mean_k):
+                try:
+                    leaf.copy_to_host_async()
+                except Exception:  # backend without async host copies
+                    break
             return {
                 "pending": list(pend),
                 "sids": [sid0 + j for j in range(k)],
@@ -1086,20 +1269,12 @@ class KartoMapper:
                 self.last_by_sensor[sensor] = sid
 
         def flush(final: bool = False):
-            nonlocal inflight
             if pending:
-                rec = dispatch(pending)
+                inflight.append(dispatch(pending))
                 pending.clear()
-                if inflight:
-                    prev, inflight = inflight, None
-                    finish(prev)
-                if pipeline and not final:
-                    inflight = rec
-                else:
-                    finish(rec)
-            elif inflight and final:
-                prev, inflight = inflight, None
-                finish(prev)
+            keep = 0 if final else max(depth - 1, 0)
+            while len(inflight) > keep:
+                finish(inflight.pop(0))
 
         if pipeline and parallel:
             raise ValueError(
@@ -1108,7 +1283,7 @@ class KartoMapper:
             )
 
         for i in range(n_in):
-            n_inflight = len(inflight["pending"]) if inflight else 0
+            n_inflight = sum(len(r["pending"]) for r in inflight)
             if self._num() + n_inflight + len(pending) >= self.max_scans:
                 results[i] = ProcessResult(False, odom_poses[i], 0.0, False)
                 continue
