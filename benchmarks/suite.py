@@ -323,8 +323,6 @@ def bench_correlative(iters):
     pts, valid = pts[0], valid[0]
     wpts = se2.transform_points(jnp.zeros(3), pts)
 
-    # chained search centers (damped to stay inside the window) so one
-    # fetch settles a whole window of sequential matches
     # fixed-input chain; 30 iterations per window so the end-of-window
     # fetch RTT amortizes to ~1 ms/iter against a ~5 ms device match
     step = jax.jit(lambda c: match_scan(
