@@ -324,3 +324,167 @@ def test_lz4_chunk_requires_codec(tmp_path):
     path.write_bytes(blob)
     with pytest.raises(ValueError, match="lz4"):
         read_bag(path)
+
+
+# ------------------------------------------------- TF-tree odometry tests
+# (tf2_msgs/TFMessage bodies written independently from the msg spec)
+
+_TF_MD5 = b"94810edda583a504dfda3829e70d7eec"
+_TF_DEF = b"geometry_msgs/TransformStamped[] transforms\n"
+
+
+def _quat_yaw(yaw):
+    return (0.0, 0.0, math.sin(yaw / 2), math.cos(yaw / 2))
+
+
+def _quat_roll(roll):
+    return (math.sin(roll / 2), 0.0, 0.0, math.cos(roll / 2))
+
+
+def tf_body(transforms):
+    """tf2_msgs/TFMessage: (stamp, parent, child, xyz, quat_xyzw) tuples."""
+    out = struct.pack("<L", len(transforms))
+    for stamp, parent, child, xyz, q in transforms:
+        out += _msg_header(0, stamp, parent)
+        out += struct.pack("<L", len(child)) + child.encode()
+        out += struct.pack("<3d", *(float(v) for v in xyz))
+        out += struct.pack("<4d", *(float(v) for v in q))
+    return bytes(out)
+
+
+def _tf_bag_messages(stamps, poses, ranges, *, with_odom_topic,
+                     static_tfs=None, tf_stamps=None, tf_poses=None,
+                     angle_min=-1.57, inc=None, rmin=0.05, rmax=25.0):
+    """Scans + odometry carried EITHER as /odom OR only via /tf."""
+    nb = ranges.shape[1]
+    inc = inc if inc is not None else 3.14 / (nb - 1)
+    msgs = []
+    for t, pose, r in zip(stamps, poses, ranges):
+        msgs.append((0, "/laser_scan", "sensor_msgs/LaserScan", _LASER_MD5,
+                     _LASER_DEF, float(t),
+                     laser_scan_body(float(t), r, angle_min, inc,
+                                     rmin=rmin, rmax=rmax)))
+        if with_odom_topic:
+            msgs.append((1, "/odom", "nav_msgs/Odometry", _ODOM_MD5,
+                         b"Header header\n...", float(t),
+                         odometry_body(float(t), pose)))
+    if not with_odom_topic:
+        ts = stamps if tf_stamps is None else tf_stamps
+        ps = poses if tf_poses is None else tf_poses
+        for t, pose in zip(ts, ps):
+            body = tf_body([(float(t), "odom", "base_link",
+                             (float(pose[0]), float(pose[1]), 0.0),
+                             _quat_yaw(float(pose[2])))])
+            msgs.append((2, "/tf", "tf2_msgs/TFMessage", _TF_MD5, _TF_DEF,
+                         float(t), body))
+    if static_tfs:
+        body = tf_body([(float(stamps[0]), p, c, xyz, q)
+                        for p, c, xyz, q in static_tfs])
+        msgs.append((3, "/tf_static", "tf2_msgs/TFMessage", _TF_MD5,
+                     _TF_DEF, float(stamps[0]), body))
+    msgs.sort(key=lambda m: m[5])
+    return msgs
+
+
+_IDENT_LASER = [("base_link", "laser_frame", (0.0, 0.0, 0.2),
+                 (0.0, 0.0, 0.0, 1.0))]
+
+
+def test_tf_odometry_matches_odom_topic(tmp_path):
+    """A bag carrying odometry ONLY via /tf replays to the same ScanLog as
+    the same trajectory published on an Odometry topic — the getOdomPose
+    fallback (karto_slam.cc:483-505)."""
+    rng = np.random.default_rng(0)
+    n, nb = 12, 24
+    stamps = 50.0 + 0.1 * np.arange(n)
+    poses = np.stack([0.08 * np.arange(n), 0.01 * np.arange(n),
+                      0.03 * np.arange(n)], axis=-1)
+    ranges = 2.0 + rng.uniform(0, 1, (n, nb))
+
+    pa = tmp_path / "odom_topic.bag"
+    write_roscomm_style_bag(pa, _tf_bag_messages(
+        stamps, poses, ranges, with_odom_topic=True))
+    pb = tmp_path / "tf_only.bag"
+    write_roscomm_style_bag(pb, _tf_bag_messages(
+        stamps, poses, ranges, with_odom_topic=False,
+        static_tfs=_IDENT_LASER))
+
+    la = bag_to_scanlog(pa)
+    lb = bag_to_scanlog(pb)
+    np.testing.assert_allclose(lb.odom, la.odom, atol=1e-6)
+    np.testing.assert_array_equal(lb.ranges, la.ranges)
+    assert lb.laser_frame == "laser_frame"
+    assert lb.frames is not None
+    # the static extrinsic resolves through the frame tree
+    np.testing.assert_allclose(
+        lb.frames.planar("base_link", "laser_frame"), [0, 0, 0], atol=1e-12)
+
+
+def test_tf_interpolation_between_samples(tmp_path):
+    """Scan stamps that fall BETWEEN /tf samples interpolate (lerp xy,
+    slerp yaw) — tf2_ros::Buffer::lookupTransform-at-scan-stamp parity."""
+    n, nb = 6, 8
+    stamps = 10.05 + 0.1 * np.arange(n)  # scans at tf midpoints
+    tf_stamps = 10.0 + 0.1 * np.arange(n + 1)
+    tf_poses = np.stack([0.2 * np.arange(n + 1), np.zeros(n + 1),
+                         0.1 * np.arange(n + 1)], axis=-1)
+    ranges = np.full((n, nb), 3.0)
+    p = tmp_path / "interp.bag"
+    write_roscomm_style_bag(p, _tf_bag_messages(
+        stamps, np.zeros((n, 3)), ranges, with_odom_topic=False,
+        tf_stamps=tf_stamps, tf_poses=tf_poses, static_tfs=_IDENT_LASER))
+    log = bag_to_scanlog(p)
+    # midpoint of linear motion: exact halfway poses
+    want_x = 0.2 * np.arange(n) + 0.1
+    want_yaw = 0.1 * np.arange(n) + 0.05
+    np.testing.assert_allclose(log.odom[:, 0], want_x, atol=1e-6)
+    np.testing.assert_allclose(log.odom[:, 2], want_yaw, atol=1e-6)
+
+
+def test_tf_multi_hop_static_chain(tmp_path):
+    """odom->base via /tf plus a two-hop static mount chain
+    (base->mount->laser): the extrinsic composes through the tree and the
+    dynamic edge is detected even though its child is not the laser."""
+    n, nb = 4, 8
+    stamps = 5.0 + 0.1 * np.arange(n)
+    poses = np.stack([0.1 * np.arange(n), np.zeros(n), np.zeros(n)],
+                     axis=-1)
+    ranges = np.full((n, nb), 2.0)
+    statics = [
+        ("base_link", "mount", (0.3, 0.0, 0.1), _quat_yaw(0.2)),
+        ("mount", "laser_frame", (0.1, 0.05, 0.0), _quat_yaw(0.3)),
+    ]
+    p = tmp_path / "chain.bag"
+    write_roscomm_style_bag(p, _tf_bag_messages(
+        stamps, poses, ranges, with_odom_topic=False, static_tfs=statics))
+    log = bag_to_scanlog(p)
+    np.testing.assert_allclose(log.odom[:, 0], 0.1 * np.arange(n),
+                               atol=1e-6)
+    pl = log.frames.planar("base_link", "laser_frame")
+    # compose by hand: mount yaw 0.2 rotates the second hop
+    want_x = 0.3 + math.cos(0.2) * 0.1 - math.sin(0.2) * 0.05
+    want_y = math.sin(0.2) * 0.1 + math.cos(0.2) * 0.05
+    np.testing.assert_allclose(pl, [want_x, want_y, 0.5], atol=1e-9)
+
+
+def test_tf_inverted_laser_resolves_through_registry(tmp_path):
+    """An upside-down laser declared ONLY in /tf_static (roll=pi) is
+    detected by the LaserRegistry built from the bag's frame tree and its
+    ranges reverse at staging (karto_slam.cc:357-377 + 417-425)."""
+    from tpuslam.core.frames import LaserRegistry
+
+    n, nb = 3, 10
+    stamps = 1.0 + 0.1 * np.arange(n)
+    poses = np.zeros((n, 3))
+    ranges = np.arange(n * nb, dtype=np.float64).reshape(n, nb) * 0.1 + 1.0
+    statics = [("base_link", "laser_frame", (0.0, 0.0, 0.3),
+                _quat_roll(math.pi))]
+    p = tmp_path / "inv.bag"
+    write_roscomm_style_bag(p, _tf_bag_messages(
+        stamps, poses, ranges, with_odom_topic=False, static_tfs=statics))
+    log = bag_to_scanlog(p)
+    reg = LaserRegistry(log.frames)
+    info = reg.get(log.laser_frame)
+    assert info.inverted
+    staged = reg.stage_ranges(log.laser_frame, log.ranges[0])
+    np.testing.assert_allclose(staged, log.ranges[0][::-1])

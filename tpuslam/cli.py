@@ -84,22 +84,30 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    "reversed, karto_slam.cc:417-425")
 
 
-def _laser_registry(args):
+def _laser_registry(args, log=None):
     """Build the FrameTree/LaserRegistry for --laser-mount (or None).
 
     Returns (registry, frame_name); the caller composes sensor poses via
     ``registry.sensor_pose`` and stages ranges via ``stage_ranges`` —
-    the two static jobs the reference delegates to ROS TF."""
-    if not getattr(args, "laser_mount", None):
-        return None, None
+    the two static jobs the reference delegates to ROS TF.  When no
+    --laser-mount is given but the log came from a rosbag carrying
+    /tf_static, the extrinsic resolves from the bag's own frame tree
+    (io/rosbag.py TfBuffer), exactly as SlamKarto::getLaser looks it up
+    (karto_slam.cc:327-405)."""
     from tpuslam.core.frames import FrameTree, LaserRegistry, Transform3
 
-    vals = [float(x) for x in args.laser_mount.split(",")]
-    if len(vals) != 6:
-        raise SystemExit("--laser-mount needs 6 comma-separated values")
-    ft = FrameTree("base_link")
-    ft.add("base_link", "laser", Transform3.from_xyz_rpy(*vals))
-    return LaserRegistry(ft), "laser"
+    if getattr(args, "laser_mount", None):
+        vals = [float(x) for x in args.laser_mount.split(",")]
+        if len(vals) != 6:
+            raise SystemExit("--laser-mount needs 6 comma-separated values")
+        ft = FrameTree("base_link")
+        ft.add("base_link", "laser", Transform3.from_xyz_rpy(*vals))
+        return LaserRegistry(ft), "laser"
+    frames = getattr(log, "frames", None)
+    laser_frame = getattr(log, "laser_frame", None)
+    if frames is not None and laser_frame and laser_frame != frames.root:
+        return LaserRegistry(frames), laser_frame
+    return None, None
 
 
 def _get_log(args):
@@ -244,7 +252,7 @@ def cmd_plicp(args):
     # --laser-mount: the model consumes the planar base->laser extrinsic
     # directly (plicp_odometry.cc:257-280 TF chain); inverted mounts also
     # reverse the range arrays at staging (karto_slam.cc:417-425)
-    registry, laser_frame = _laser_registry(args)
+    registry, laser_frame = _laser_registry(args, log)
     b2l = None
     if registry is not None:
         import jax.numpy as _jnp
@@ -463,7 +471,7 @@ def cmd_karto(args):
 def _run_karto(args, log, true, cfg, mapper):
     from tpuslam.utils.timing import StepTimer
 
-    registry, laser_frame = _laser_registry(args)
+    registry, laser_frame = _laser_registry(args, log)
 
     def stage(i):
         """Scan + sensor-frame odometry for scan i, honoring the laser

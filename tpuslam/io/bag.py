@@ -37,6 +37,13 @@ class ScanLog:
     range_min: float
     range_max: float
     time_increment: float = 0.0
+    # rosbag-derived TF metadata (not persisted by the tslg/npz codecs):
+    # the scan frame_id and the bag's static frame tree
+    # (tpuslam.core.frames.FrameTree), when the source bag carried
+    # /tf_static — lets the CLI resolve the laser extrinsic the way the
+    # reference nodes look it up from TF (karto_slam.cc:327-405).
+    laser_frame: str | None = None
+    frames: object | None = None
 
     def __len__(self) -> int:
         return self.ranges.shape[0]

@@ -9,8 +9,14 @@ BASELINE.md ATE-parity runs on the author's datasets.
 
 Implements the rosbag 2.0 container format (records with name=value headers,
 chunked message storage, none/bz2/lz4 chunk compression) and the ROS1 binary
-message serialization for the three message types the lessons consume:
-``sensor_msgs/LaserScan``, ``nav_msgs/Odometry``, ``sensor_msgs/Imu``.
+message serialization for the message types the lessons consume:
+``sensor_msgs/LaserScan``, ``nav_msgs/Odometry``, ``sensor_msgs/Imu``, and
+``tf2_msgs/TFMessage`` (``/tf`` + ``/tf_static``).  Real recordings usually
+carry odometry via the TF tree rather than an Odometry topic: the reference
+looks up odom→base at each scan stamp (SlamKarto::getOdomPose,
+lesson6/src/karto_slam.cc:483-505) and composes base↔laser from TF
+(plicp_odometry.cc:257-280); :class:`TfBuffer` + the fallback in
+:func:`bag_to_scanlog` reproduce both lookups host-side.
 A minimal writer produces spec-conformant fixture bags for round-trip tests.
 """
 
@@ -242,12 +248,252 @@ def parse_imu(raw: bytes) -> dict:
     return {"stamp": stamp, "frame_id": frame, "w": np.array([wx, wy, wz])}
 
 
+def parse_tf_message(raw: bytes) -> list[dict]:
+    """tf2_msgs/TFMessage (also the legacy tf/tfMessage — same wire
+    layout): an array of geometry_msgs/TransformStamped."""
+    r = _Reader(raw)
+    n = r.u32()
+    out = []
+    for _ in range(n):
+        _, stamp, parent = r.header()
+        child = r.string()
+        t = r.f64s(3)
+        q = r.f64s(4)  # (x, y, z, w)
+        out.append(
+            {"stamp": stamp, "parent": parent, "child": child,
+             "t": np.asarray(t), "q": np.asarray(q)}
+        )
+    return out
+
+
+# --------------------------------------------------------------------------
+# TF buffer: time-interpolated transform lookups (tf2_ros::Buffer analog)
+
+
+def _quat_to_mat(q: np.ndarray) -> np.ndarray:
+    x, y, z, w = (float(v) for v in q)
+    n = math.sqrt(x * x + y * y + z * z + w * w) or 1.0
+    x, y, z, w = x / n, y / n, z / n, w / n
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+
+
+def _quat_slerp(q0: np.ndarray, q1: np.ndarray, u: float) -> np.ndarray:
+    """Shortest-path spherical interpolation (tf2::slerp semantics)."""
+    d = float(np.dot(q0, q1))
+    if d < 0.0:
+        q1, d = -q1, -d
+    if d > 0.9995:  # nearly parallel: lerp + renormalize
+        q = q0 + u * (q1 - q0)
+        return q / np.linalg.norm(q)
+    th = math.acos(min(1.0, d))
+    s = math.sin(th)
+    return (math.sin((1.0 - u) * th) * q0 + math.sin(u * th) * q1) / s
+
+
+class TfBuffer:
+    """Host-side TF tree with time interpolation.
+
+    The reference's nodes delegate two lookups to tf2_ros::Buffer:
+    odom→base at each scan stamp (karto_slam.cc:483-505) and the static
+    base↔laser extrinsic (plicp_odometry.cc:257-280).  This buffer
+    reproduces ``lookupTransform`` for a recorded bag: static edges are
+    timeless, dynamic edges interpolate (lerp translation / slerp
+    rotation, clamped at the ends — a bag replay never extrapolates
+    beyond its own recording)."""
+
+    def __init__(self):
+        # child -> (parent, t[3], q[4]) for static edges
+        self._static: dict[str, tuple[str, np.ndarray, np.ndarray]] = {}
+        # child -> parent for dynamic edges; samples keyed by child
+        self._dyn_parent: dict[str, str] = {}
+        self._dyn: dict[str, list[tuple[float, np.ndarray, np.ndarray]]] = {}
+        self._sorted: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+
+    def insert(self, tr: dict, static: bool = False) -> None:
+        if static:
+            self._static[tr["child"]] = (tr["parent"], tr["t"], tr["q"])
+        else:
+            self._dyn_parent[tr["child"]] = tr["parent"]
+            self._dyn.setdefault(tr["child"], []).append(
+                (tr["stamp"], tr["t"], tr["q"])
+            )
+            self._sorted.pop(tr["child"], None)
+
+    # -- edge accessors ----------------------------------------------------
+    def dynamic_edges(self) -> list[tuple[str, str]]:
+        return [(p, c) for c, p in self._dyn_parent.items()]
+
+    def static_edges(self) -> list[tuple[str, str]]:
+        return [(p, c) for c, (p, _, _) in self._static.items()]
+
+    def _parent_of(self, frame: str) -> str | None:
+        # dynamic wins if a frame somehow appears in both
+        if frame in self._dyn_parent:
+            return self._dyn_parent[frame]
+        if frame in self._static:
+            return self._static[frame][0]
+        return None
+
+    def _edge(self, child: str, time: float) -> tuple[np.ndarray, np.ndarray]:
+        """(t, q) of child's pose in its parent at ``time``."""
+        if child in self._dyn_parent:
+            if child not in self._sorted:
+                samples = sorted(self._dyn[child], key=lambda s: s[0])
+                self._sorted[child] = (
+                    np.array([s[0] for s in samples]),
+                    np.stack([s[1] for s in samples]),
+                    np.stack([s[2] for s in samples]),
+                )
+            ts, tt, qq = self._sorted[child]
+            i = int(np.searchsorted(ts, time))
+            if i <= 0:
+                return tt[0], qq[0]
+            if i >= len(ts):
+                return tt[-1], qq[-1]
+            u = (time - ts[i - 1]) / max(ts[i] - ts[i - 1], 1e-12)
+            return (
+                tt[i - 1] + u * (tt[i] - tt[i - 1]),
+                _quat_slerp(qq[i - 1], qq[i], float(u)),
+            )
+        _, t, q = self._static[child]
+        return t, q
+
+    # -- lookups -------------------------------------------------------------
+    def _chain_up(self, frame: str, time: float):
+        """[(ancestor_name, Transform3 frame→ancestor)] root-ward,
+        starting with (frame, identity)."""
+        from tpuslam.core.frames import Transform3
+
+        out = [(frame, Transform3.from_xyz_rpy())]
+        cur, tf = frame, out[0][1]
+        seen = {frame}
+        while True:
+            parent = self._parent_of(cur)
+            if parent is None or parent in seen:
+                return out
+            t, q = self._edge(cur, time)
+            step = _make_transform3(t, q)
+            tf = step.compose(tf)
+            out.append((parent, tf))
+            seen.add(parent)
+            cur = parent
+
+    def lookup(self, target: str, source: str, time: float):
+        """Transform taking SOURCE-frame coordinates into TARGET-frame
+        coordinates at ``time`` (tf2 lookupTransform semantics)."""
+        src = self._chain_up(source, time)
+        tgt = self._chain_up(target, time)
+        tgt_names = {n: tf for n, tf in tgt}
+        for name, tf_src in src:
+            if name in tgt_names:
+                return tgt_names[name].inverse().compose(tf_src)
+        raise KeyError(
+            f"no TF chain connects {source!r} to {target!r}"
+        )
+
+    def can_transform(self, target: str, source: str) -> bool:
+        try:
+            self.lookup(target, source, 0.0)
+            return True
+        except KeyError:
+            return False
+
+    def static_connected(self, ancestor: str, frame: str) -> bool:
+        """True if ``frame`` reaches ``ancestor`` via static edges only."""
+        cur = frame
+        seen = set()
+        while cur != ancestor:
+            if cur in seen or cur not in self._static:
+                return False
+            seen.add(cur)
+            cur = self._static[cur][0]
+        return True
+
+    def static_frame_tree(self, root: str):
+        """Export the static subtree under ``root`` as a
+        core.frames.FrameTree (the registry the CLI's laser handling
+        consumes — SlamKarto::getLaser parity, karto_slam.cc:327-405)."""
+        from tpuslam.core.frames import FrameTree
+
+        ft = FrameTree(root)
+        children: dict[str, list[str]] = {}
+        for child, (parent, _, _) in self._static.items():
+            children.setdefault(parent, []).append(child)
+        queue = [root]
+        while queue:
+            parent = queue.pop(0)
+            for child in sorted(children.get(parent, ())):
+                t, q = self._static[child][1], self._static[child][2]
+                ft.add(parent, child, _make_transform3(t, q))
+                queue.append(child)
+        return ft
+
+
+def _make_transform3(t: np.ndarray, q: np.ndarray):
+    from tpuslam.core.frames import Transform3
+
+    return Transform3(tuple(map(tuple, _quat_to_mat(q))), tuple(map(float, t)))
+
+
 # --------------------------------------------------------------------------
 # conversion
 
 _SCAN_TYPE = "sensor_msgs/LaserScan"
 _ODOM_TYPE = "nav_msgs/Odometry"
 _IMU_TYPE = "sensor_msgs/Imu"
+_TF_TYPES = ("tf2_msgs/TFMessage", "tf/tfMessage")
+
+
+def _build_tf_buffer(msgs: list[BagMessage]) -> TfBuffer:
+    buf = TfBuffer()
+    for m in msgs:
+        if m.msg_type not in _TF_TYPES:
+            continue
+        static = m.topic.rstrip("/").endswith("tf_static")
+        for tr in parse_tf_message(m.raw):
+            buf.insert(tr, static=static)
+    return buf
+
+
+def _detect_odom_edge(
+    buf: TfBuffer,
+    laser_frame: str,
+    base_frame: str | None,
+    odom_frame: str | None,
+) -> tuple[str, str] | None:
+    """Pick the dynamic TF edge that plays odom→base.
+
+    Preference order: an explicit (odom_frame, base_frame) match, then the
+    dynamic edge whose child statically reaches the laser frame (the
+    robot-model shape every reference launch uses: odom→base_link with the
+    laser mounted statically under base_link), then a name heuristic."""
+    edges = buf.dynamic_edges()
+    if not edges:
+        return None
+    cands = [
+        (p, c)
+        for p, c in edges
+        if (odom_frame is None or p == odom_frame)
+        and (base_frame is None or c == base_frame)
+    ]
+    if not cands:
+        return None
+    if len(cands) > 1:
+        linked = [
+            (p, c)
+            for p, c in cands
+            if c == laser_frame or buf.static_connected(c, laser_frame)
+        ]
+        if linked:
+            cands = linked
+    cands.sort(key=lambda pc: (0 if "odom" in pc[0] else 1, pc[0], pc[1]))
+    return cands[0]
 
 
 def bag_to_scanlog(
@@ -255,6 +501,8 @@ def bag_to_scanlog(
     scan_topic: str | None = None,
     odom_topic: str | None = None,
     imu_topic: str | None = None,
+    base_frame: str | None = None,
+    odom_frame: str | None = None,
 ) -> ScanLog:
     """Convert a rosbag into a ScanLog.
 
@@ -262,7 +510,18 @@ def bag_to_scanlog(
     poses are linearly interpolated (yaw circularly) to each scan's header
     stamp — the TF-lookup-at-scan-time the reference nodes perform
     (e.g. plicp_odometry.cc:352-370); the gyro yaw rate comes from the IMU
-    stream when present, else from odom twist, else zeros."""
+    stream when present, else from odom twist, else zeros.
+
+    Bags with no Odometry topic fall back to the TF tree, exactly as the
+    reference obtains odometry: odom→base is looked up at each scan stamp
+    (SlamKarto::getOdomPose, karto_slam.cc:483-505) from the ``/tf``
+    stream, with the odom→base edge auto-detected (override with
+    ``base_frame`` / ``odom_frame``).  When ``/tf_static`` is present the
+    returned log also carries ``frames`` (the static FrameTree rooted at
+    the base frame) and ``laser_frame`` (the scan header's frame_id), so
+    callers can resolve the base↔laser extrinsic and inverted mounts
+    through core.frames.LaserRegistry (plicp_odometry.cc:257-280,
+    karto_slam.cc:327-405)."""
     msgs = read_bag(path)
 
     def pick(explicit, mtype):
@@ -298,6 +557,9 @@ def bag_to_scanlog(
         ranges[i, : len(r)] = r
         stamps[i] = s["stamp"]
 
+    tf_buf = _build_tf_buffer(msgs)
+    laser_frame = first.get("frame_id") or "laser"
+
     odom_out = np.zeros((t, 3), np.float32)
     if odoms:
         ot = np.array([o["stamp"] for o in odoms])
@@ -310,6 +572,19 @@ def bag_to_scanlog(
             np.interp(stamps, ot, np.cos(op[:, 2])),
         )
         odom_out = np.stack([ox, oy, oyaw], axis=-1).astype(np.float32)
+    else:
+        # TF fallback: getOdomPose at each scan stamp
+        # (karto_slam.cc:483-505 — pose of base_frame in odom_frame)
+        edge = _detect_odom_edge(tf_buf, laser_frame, base_frame, odom_frame)
+        if edge is not None:
+            o_frame, b_frame = edge
+            odom_out = np.stack(
+                [
+                    tf_buf.lookup(o_frame, b_frame, s).planar()
+                    for s in stamps
+                ]
+            ).astype(np.float32)
+            base_frame = base_frame or b_frame
 
     wz = np.zeros(t, np.float32)
     if imus:
@@ -321,6 +596,18 @@ def bag_to_scanlog(
         ow = np.array([o["angular"][2] for o in odoms])
         wz = np.interp(stamps, ot, ow).astype(np.float32)
 
+    # export the static frame tree when it can resolve the laser extrinsic
+    frames = None
+    if base_frame is None:
+        edge = _detect_odom_edge(tf_buf, laser_frame, None, odom_frame)
+        if edge is not None:
+            base_frame = edge[1]
+    if base_frame is not None and (
+        laser_frame == base_frame
+        or tf_buf.static_connected(base_frame, laser_frame)
+    ):
+        frames = tf_buf.static_frame_tree(base_frame)
+
     return ScanLog(
         ranges=ranges,
         stamps=stamps,
@@ -331,6 +618,8 @@ def bag_to_scanlog(
         range_min=float(first["range_min"]),
         range_max=float(first["range_max"]),
         time_increment=float(first["time_increment"]),
+        laser_frame=laser_frame,
+        frames=frames,
     )
 
 
@@ -412,6 +701,33 @@ def serialize_odometry(
     w.out += struct.pack("<6d", 0.0, 0.0, 0.0, 0.0, 0.0, angular_z)
     w.out += np.zeros(36, "<f8").tobytes()
     return bytes(w.out)
+
+
+def serialize_tf_message(
+    transforms: list[tuple[float, str, str, tuple, tuple]],
+) -> bytes:
+    """tf2_msgs/TFMessage: (stamp, parent, child, xyz, quat_xyzw) tuples."""
+    w = _Writer()
+    w.out += struct.pack("<I", len(transforms))
+    for stamp, parent, child, xyz, quat in transforms:
+        w.header(0, stamp, parent)
+        w.string(child)
+        w.out += struct.pack("<3d", *(float(v) for v in xyz))
+        w.out += struct.pack("<4d", *(float(v) for v in quat))
+    return bytes(w.out)
+
+
+def quat_from_rpy(roll: float, pitch: float, yaw: float) -> tuple:
+    """(x, y, z, w) from intrinsic ZYX Euler angles (tf convention)."""
+    cr, sr = math.cos(roll / 2), math.sin(roll / 2)
+    cp, sp = math.cos(pitch / 2), math.sin(pitch / 2)
+    cy, sy = math.cos(yaw / 2), math.sin(yaw / 2)
+    return (
+        sr * cp * cy - cr * sp * sy,
+        cr * sp * cy + sr * cp * sy,
+        cr * cp * sy - sr * sp * cy,
+        cr * cp * cy + sr * sp * sy,
+    )
 
 
 def serialize_imu(stamp: float, w_xyz, frame: str = "imu") -> bytes:
