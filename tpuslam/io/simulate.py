@@ -124,3 +124,55 @@ def circle_trajectory(
     y = radius * np.sin(s)
     th = np.arctan2(np.cos(s), -np.sin(s))
     return np.stack([x, y, th], axis=-1)
+
+
+def garland_trajectory(
+    centers: np.ndarray,
+    radius: float = 1.6,
+    step: float = 0.25,
+    rounds: int = 1,
+) -> np.ndarray:
+    """Poses [T, 3] for a multi-loop course: a full CCW lap around each
+    circle center in turn, joined by straight transits between the laps
+    (and, with ``rounds > 1``, back from the last circle to the first).
+
+    Every lap completion and every later revisit of an earlier circle is a
+    genuine karto loop-closure event: the path between leaves the
+    link-scan radius, so the revisited scans are spatially near but NOT
+    near-linked (FindNearLinkedScans' distance-gated BFS cannot reach them,
+    Mapper.cpp:1290-1305) — unlike a single circled lap, where everything
+    after the first closure stays near-linked and closes exactly once.
+    ``step`` is the along-path spacing in meters (laps and transits)."""
+    centers = np.asarray(centers, dtype=np.float64)
+    poses: list[np.ndarray] = []
+
+    def lap(c):
+        # enter at the bottom of the circle heading east, go CCW
+        n = max(8, int(round(2.0 * np.pi * radius / step)))
+        s = -np.pi / 2 + np.linspace(0.0, 2.0 * np.pi, n, endpoint=False)
+        x = c[0] + radius * np.cos(s)
+        y = c[1] + radius * np.sin(s)
+        th = np.arctan2(np.cos(s), -np.sin(s))
+        poses.extend(np.stack([x, y, th], axis=-1))
+
+    def transit(a, b):
+        # straight drive between the two lap entry points
+        p0 = np.array([a[0], a[1] - radius])
+        p1 = np.array([b[0], b[1] - radius])
+        d = p1 - p0
+        dist = float(np.hypot(*d))
+        if dist < 1e-9:
+            return
+        th = float(np.arctan2(d[1], d[0]))
+        n = max(1, int(round(dist / step)))
+        for k in range(1, n):
+            p = p0 + d * (k / n)
+            poses.append(np.array([p[0], p[1], th]))
+
+    for r in range(rounds):
+        for i, c in enumerate(centers):
+            if poses:
+                prev = centers[i - 1] if i else centers[-1]
+                transit(prev, c)
+            lap(c)
+    return np.stack(poses)

@@ -1131,18 +1131,28 @@ class KartoMapper:
 
     def _settle_scan(self, st: dict, fetched: list | None) -> bool:
         """Phase C: near-chain link application + weighted-mean fusion +
-        loop closure for one staged scan.  ``fetched=None`` re-discovers
-        and re-matches the chains synchronously — used after an earlier
-        in-flush loop closure corrected the poses the prefetched matches
-        were centered on (falls back to per-scan semantics for the rest
-        of the flush)."""
+        loop closure for one staged scan.
+
+        Chains are RE-discovered here: earlier scans of the same flush
+        have applied their near-chain link edges by now, and
+        _find_near_chains seeds from the distance-gated edge BFS
+        (FindNearLinkedScans, Mapper.cpp:1290-1305), so the stage-time
+        chain set is systematically thinner — settling with it dropped
+        ~20% of the links and mis-fired loop closures on multi-loop
+        courses.  A re-discovered chain equal to a staged one reuses the
+        prefetched flush match (its center only drifted by same-flush
+        fusion, mm-scale — the documented deferral class); new or changed
+        chains match synchronously.  ``fetched=None`` re-matches
+        everything synchronously — used after an earlier in-flush loop
+        closure corrected the poses the prefetched matches were centered
+        on (falls back to per-scan semantics for the rest of the flush)."""
         cfg = self.cfg
         sid = st["sid"]
+        chains = [
+            c for c in self._find_near_chains(sid)
+            if len(c) >= cfg.loop_match_minimum_chain_size
+        ]
         if fetched is None:
-            chains = [
-                c for c in self._find_near_chains(sid)
-                if len(c) >= cfg.loop_match_minimum_chain_size
-            ]
             ress = [
                 self._match_async(
                     self.seq_spec, sid, self.poses[sid], c, None,
@@ -1152,7 +1162,24 @@ class KartoMapper:
             ]
             fetched = self._fetch_matches(ress)
         else:
-            chains = st["chains"]
+            by_chain = {
+                tuple(c): f for c, f in zip(st["chains"], fetched)
+            }
+            miss = [c for c in chains if tuple(c) not in by_chain]
+            ress = [
+                self._match_async(
+                    self.seq_spec, sid, self.poses[sid], c, None,
+                    penalize=False, refine=True,
+                )
+                for c in miss
+            ]
+            miss_res = dict(zip(map(tuple, miss), self._fetch_matches(ress)))
+            fetched = [
+                by_chain[tuple(c)]
+                if tuple(c) in by_chain
+                else miss_res[tuple(c)]
+                for c in chains
+            ]
         means, covs = st["means"], st["covs"]
         for chain, (mean_c, resp_c, cov_c) in zip(chains, fetched):
             if resp_c > cfg.link_match_minimum_response_fine - 1e-9:
