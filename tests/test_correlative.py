@@ -171,14 +171,42 @@ def test_find_valid_points_python_port():
         return kept
 
     want = ref_port(pts, viewpoint)
-    got = np.asarray(
-        find_valid_points(
-            jnp.asarray(pts, jnp.float32),
-            jnp.ones(len(pts), bool),
-            jnp.asarray(viewpoint, jnp.float32),
+    for parallel in (False, True):
+        got = np.asarray(
+            find_valid_points(
+                jnp.asarray(pts, jnp.float32),
+                jnp.ones(len(pts), bool),
+                jnp.asarray(viewpoint, jnp.float32),
+                parallel=parallel,
+            )
         )
-    )
-    assert (got == want).all(), np.nonzero(got != want)
+        assert (got == want).all(), (parallel, np.nonzero(got != want))
+
+
+def test_find_valid_points_parallel_matches_serial():
+    """The O(log B) pointer-doubling formulation is bit-identical to the
+    serial trailing-iterator port across beam counts, invalid patterns,
+    sub-0.1 m clusters, and the all-invalid edge."""
+    rng = np.random.default_rng(11)
+    for trial in range(12):
+        B = [64, 180, 512, 1081][trial % 4]
+        th = np.sort(rng.uniform(-np.pi, np.pi, B))
+        r = np.abs(rng.normal(3, 2, B)).clip(0.11, 30)
+        if trial % 3 == 1:
+            r[:] = 0.12  # everything inside the min-dist regime
+        pts = np.stack([r * np.cos(th), r * np.sin(th)], -1)
+        valid = rng.uniform(size=B) > (0.3 if trial % 4 else 0.0)
+        if trial == 7:
+            valid[:] = False
+        vp = rng.normal(0, 1, 2)
+        args = (
+            jnp.asarray(pts, jnp.float32),
+            jnp.asarray(valid),
+            jnp.asarray(vp, jnp.float32),
+        )
+        a = np.asarray(find_valid_points(*args, parallel=False))
+        b = np.asarray(find_valid_points(*args, parallel=True))
+        assert np.array_equal(a, b), (trial, B, np.nonzero(a != b))
 
 
 def test_localize_recovers_global_pose():

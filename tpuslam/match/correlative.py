@@ -158,51 +158,138 @@ class CorrelativeResult(NamedTuple):
     covariance: Array  # [3, 3]
 
 
-def find_valid_points(pts: Array, valid: Array, viewpoint: Array) -> Array:
+def find_valid_points(
+    pts: Array, valid: Array, viewpoint: Array, *, parallel: bool = False
+) -> Array:
     """Viewpoint visibility filter (Mapper.cpp:758-817).
 
     A point is kept iff the next 'decision point' at >= 0.1 m from the
     rolling anchor sees the surface from the correct side (counterclockwise
-    winding w.r.t. the viewpoint).  Exact port of the trailing-iterator
-    semantics as two lax.scans.  pts: [B, 2] world points."""
+    winding w.r.t. the viewpoint).  pts: [B, 2] world points.
+
+    Two EXACT formulations of the reference's trailing-iterator loop,
+    bit-identical to each other (fuzz-verified on hardware incl.
+    all-invalid and sub-0.1 m-cluster scans):
+
+    - ``parallel=False``: the direct port — two B-step ``lax.scan``s.
+      Serial in B but constant in the vmap width, so it stays cheap when
+      vmapped over a long base chain (the 128-scan loop matcher).
+    - ``parallel=True``: O(log B) parallel steps.  The decision chain is
+      the orbit of a parallel-computable pointer — next(i) = first j > i
+      with valid[j] and ||pts[j] - pts[i]||^2 > 0.1^2 (if a decision
+      fires at i, making pts[i] the anchor, the following decision fires
+      exactly at next(i)) — so: compute next[] for every i at once
+      (blocked all-pairs distances), mark the orbit of the first anchor
+      by pointer doubling (log2 B scatter rounds), read each decision's
+      anchor off the chain, and propagate each keep verdict backward
+      with a reverse min-scan.  8x faster standalone at B=1081, but its
+      [block, B] all-pairs transient scales with the vmap width — the
+      caller picks it when S*B^2 is small (match_scan's rule).  Every
+      comparison evaluates the same f32 expressions on the same operands
+      as the scan version, hence bit-identical masks."""
     min_sq = 0.01
 
     # the reference seeds with the first FINITE point (its point-readings
     # vector holds only valid beams, Karto.h:5404-5434); invalid beams here
     # hold range 0 so pts[0] may be the sensor origin — anchor on the first
     # valid point instead
-    first0 = pts[jnp.argmax(valid)]
+    if not parallel:
+        first0 = pts[jnp.argmax(valid)]
 
-    def fwd(carry, inp):
-        first = carry
-        p, v = inp
-        delta = first - p
-        decide = (jnp.sum(delta * delta) > min_sq) & v
-        a = viewpoint[1] - first[1]
-        b = first[0] - viewpoint[0]
-        c = first[1] * viewpoint[0] - first[0] * viewpoint[1]
-        ss = p[0] * a + p[1] * b + c
-        keep = ss >= 0.0
-        new_first = jnp.where(decide, p, first)
-        return new_first, (decide, keep)
+        def fwd(carry, inp):
+            first = carry
+            p, v = inp
+            delta = first - p
+            decide = (jnp.sum(delta * delta) > min_sq) & v
+            a = viewpoint[1] - first[1]
+            b = first[0] - viewpoint[0]
+            c = first[1] * viewpoint[0] - first[0] * viewpoint[1]
+            ss = p[0] * a + p[1] * b + c
+            keep = ss >= 0.0
+            new_first = jnp.where(decide, p, first)
+            return new_first, (decide, keep)
 
-    # NOTE: unroll=16 measured 27% faster standalone on v5e but blew the
-    # Mosaic/XLA compile of the big vmapped karto programs past 10 min
-    # (16x program bloat under vmap x chains x batch) — keep unroll=1
-    _, (decide, keep_at_decision) = jax.lax.scan(fwd, first0, (pts, valid))
+        # NOTE: unroll=16 measured 27% faster standalone on v5e but blew
+        # the Mosaic/XLA compile of the big vmapped karto programs past
+        # 10 min (16x program bloat under vmap x chains x batch) — keep
+        # unroll=1
+        _, (decide, keep_at_decision) = jax.lax.scan(
+            fwd, first0, (pts, valid)
+        )
 
-    # point i is emitted by the first decision strictly AFTER i
-    def bwd(carry, inp):
-        nxt_keep = carry
-        d, k = inp
-        out = nxt_keep  # the decision after me decides my fate
-        new = jnp.where(d, k, nxt_keep)
-        return new, out
+        # point i is emitted by the first decision strictly AFTER i
+        def bwd(carry, inp):
+            nxt_keep = carry
+            d, k = inp
+            out = nxt_keep  # the decision after me decides my fate
+            new = jnp.where(d, k, nxt_keep)
+            return new, out
 
-    _, kept = jax.lax.scan(
-        bwd, jnp.zeros((), bool), (decide, keep_at_decision), reverse=True
-    )
-    return kept & valid
+        _, kept = jax.lax.scan(
+            bwd,
+            jnp.zeros((), bool),
+            (decide, keep_at_decision),
+            reverse=True,
+        )
+        return kept & valid
+
+    B = pts.shape[0]
+    iota = jnp.arange(B, dtype=jnp.int32)
+    i0 = jnp.argmax(valid).astype(jnp.int32)
+
+    # next[i]: first j > i that is valid and farther than 0.1 m from
+    # pts[i]; B if none.  Blocked rows keep the all-pairs transient at
+    # [block, B].  (A banded while_loop variant was measured and
+    # rejected: vmapped while_loop lowering took minutes and TPU gathers
+    # ran 20x slower than these dense blocks.)
+    blocks = []
+    rb = 128
+    for s in range(0, B, rb):
+        e = min(s + rb, B)
+        delta = pts[s:e, None, :] - pts[None, :, :]
+        d2 = jnp.sum(delta * delta, axis=-1)  # [e-s, B]
+        ok = (iota[None, :] > iota[s:e, None]) & valid[None, :] & (
+            d2 > min_sq
+        )
+        blocks.append(
+            jnp.where(jnp.any(ok, axis=1), jnp.argmax(ok, axis=1), B).astype(
+                jnp.int32
+            )
+        )
+    nxt = jnp.concatenate([jnp.concatenate(blocks), jnp.full(1, B, jnp.int32)])
+
+    # decision set = orbit {next[i0], next^2[i0], ...} by pointer doubling:
+    # after k rounds r holds next^m[i0] for all 1 <= m <= 2^k.  Index B is
+    # the chain terminator (self-loop).
+    r = jnp.zeros(B + 1, bool).at[nxt[i0]].set(valid[i0])
+    ptr = nxt
+    for _ in range(max(1, math.ceil(math.log2(max(B, 2))))):
+        r = r | jnp.zeros_like(r).at[ptr].max(r)
+        ptr = ptr[ptr]
+    decide = r[:B]
+
+    # each decision's anchor = its chain predecessor ({i0} U orbit); next
+    # is strictly increasing so the predecessor on the chain is unique and
+    # a scatter-max never collides except on the B terminator
+    src = decide | (iota == i0)
+    tgt = jnp.where(src, nxt[:B], B)
+    anchor = jnp.zeros(B + 1, jnp.int32).at[tgt].max(iota)[:B]
+
+    # side-of-line verdict at each decision, against ITS anchor — the same
+    # f32 expression the sequential loop evaluates
+    fa = pts[anchor]
+    a = viewpoint[1] - fa[:, 1]
+    b = fa[:, 0] - viewpoint[0]
+    c = fa[:, 1] * viewpoint[0] - fa[:, 0] * viewpoint[1]
+    keep_d = pts[:, 0] * a + pts[:, 1] * b + c >= 0.0
+
+    # point i is emitted by the first decision STRICTLY after i: reverse
+    # running-min of decision indices, shifted by one
+    cand = jnp.where(decide, iota, B)
+    nd = jax.lax.associative_scan(jnp.minimum, cand, reverse=True)
+    nd_strict = jnp.concatenate([nd[1:], jnp.full(1, B, jnp.int32)])
+    keep_ext = jnp.concatenate([keep_d, jnp.zeros(1, bool)])
+    return keep_ext[nd_strict] & valid
 
 
 def _smear_kernel(spec: CorrelativeSpec) -> np.ndarray:
@@ -755,8 +842,19 @@ def match_scan(
     refine: bool = True,
 ) -> CorrelativeResult:
     """Full MatchScan: stamp grid, coarse search (+expansion), fine refine."""
-    vp_valid = jax.vmap(lambda p, v: find_valid_points(p, v, center_pose[:2]))(
-        base_pts.reshape(-1, base_pts.shape[-2], 2),
+    # visibility filter: the O(log B) parallel formulation wins while the
+    # vmapped all-pairs transient stays small (sequential windows, flush
+    # link chains); long loop-closure chains keep the serial scan, whose
+    # cost is constant in the vmap width (see find_valid_points)
+    flat_pts = base_pts.reshape(-1, base_pts.shape[-2], 2)
+    n_base, n_beams = flat_pts.shape[0], flat_pts.shape[1]
+    fvp_parallel = n_base * n_beams * n_beams <= 16_777_216
+    vp_valid = jax.vmap(
+        lambda p, v: find_valid_points(
+            p, v, center_pose[:2], parallel=fvp_parallel
+        )
+    )(
+        flat_pts,
         base_valid.reshape(-1, base_valid.shape[-1]),
     )
     grid = build_correlation_grid(
