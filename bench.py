@@ -116,23 +116,42 @@ def main() -> None:
 
     mps = batch * iters / min(windows)
 
-    # Roofline evidence (artifact-backed, not prose): XLA's own cost model
-    # for the compiled batch program gives FLOPs/invocation; achieved
-    # FLOP/s = that times invocations/s.  Peak: TPU v5e bf16 = 197 TFLOP/s
-    # (the matcher computes in bf16, cfg.matcher_dtype); override via
-    # TPUSLAM_PEAK_FLOPS for a different part.
-    extra = {}
+    # Roofline evidence (artifact-backed, not prose), under BOTH FLOP
+    # models — they differ by design and the artifact records which is
+    # which:
+    # - model_flops_* / mfu_pct_*: XLA's cost model = algorithmically
+    #   necessary math.  The one-hot-matmul sampler trades ~6x redundant
+    #   MXU FLOPs for avoiding TPU gathers, so model-MFU reads ~15% even
+    #   when the systolic array is saturated.
+    # - hw_flops_* / hw_util_pct: the matmul FLOPs the MXU actually
+    #   executes (pyramid_hw_flops: 2 x [B,Hc]@[Hc,Wc] per GN iteration
+    #   over the exact crop windows) — the roofline-utilization number.
+    # Peak: TPU v5e bf16 = 197 TFLOP/s (the matcher computes in bf16,
+    # cfg.matcher_dtype); override via TPUSLAM_PEAK_FLOPS.
+    from tpuslam.match.hector import pyramid_hw_flops
+
+    peak = float(os.environ.get("TPUSLAM_PEAK_FLOPS", 197e12))
+    hw = pyramid_hw_flops(
+        specs, cfg.num_beams,
+        iterations_finest=cfg.iterations_finest,
+        iterations_coarse=cfg.iterations_coarse,
+        max_point_range=cfg.laser_max_dist,
+    )
+    extra = {
+        "hw_flops_per_match": float(hw),
+        "hw_tflops": round(hw * mps / 1e12, 3),
+        "hw_util_pct_v5e_bf16": round(100.0 * hw * mps / peak, 2),
+    }
     try:
         ca = match_batch.lower(pts, valid, guesses).compile().cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         flops = float(ca["flops"])
-        peak = float(os.environ.get("TPUSLAM_PEAK_FLOPS", 197e12))
         achieved = flops * (mps / batch)
-        extra = {
+        extra.update({
             "model_flops_per_match": round(flops / batch, 1),
             "achieved_tflops": round(achieved / 1e12, 3),
             "mfu_pct_v5e_bf16": round(100.0 * achieved / peak, 2),
-        }
+        })
     except Exception:
         pass  # cost model unavailable on this backend — headline unaffected
 

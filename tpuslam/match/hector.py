@@ -227,6 +227,41 @@ def match_pyramid(
     return MatchResult(pose=pose, hessian=hessian, score=score)
 
 
+def pyramid_hw_flops(
+    specs: Sequence[GridSpec],
+    num_beams: int,
+    *,
+    iterations_finest: int = 5,
+    iterations_coarse: int = 3,
+    max_point_range: float | None = None,
+) -> int:
+    """HARDWARE FLOPs of one full pyramid match on the MXU one-hot path.
+
+    Counts the systolic-array work actually executed: per GN iteration two
+    [B, Hc] @ [Hc, Wc] contractions (value and d/dy one-hot rows against
+    the crop), 2*B*Hc*Wc FLOPs each, with the crop windows derived
+    exactly as :func:`match_pyramid` derives them.  This is the roofline-
+    utilization numerator; it deliberately differs from XLA's cost-model
+    "model FLOPs" (the mfu_pct_* fields), which count the algorithmically
+    necessary math — the one-hot formulation trades ~6x redundant MXU
+    FLOPs for avoiding TPU gathers, so hardware utilization can sit near
+    peak while model-MFU reads ~15%.  Both are correct under their own
+    FLOP model; benchmarks record both."""
+    from tpuslam.ops.mxu_interp import round_up
+
+    total = 0
+    for lvl, spec in enumerate(specs):
+        iters = iterations_finest if lvl == 0 else iterations_coarse
+        h, w = spec.shape
+        hc, wc = h, w
+        if max_point_range is not None:
+            need = int(2.0 * max_point_range / spec.resolution) + 32
+            window = min(round_up(need, 128), round_up(min(spec.shape), 128))
+            hc, wc = min(window, h), min(window, w)
+        total += iters * 2 * (2 * num_beams * hc * wc)
+    return total
+
+
 def match_pyramid_batched(
     specs: Sequence[GridSpec],
     prob_grids: Sequence[Array],
