@@ -596,6 +596,116 @@ def bench_karto_realistic(n_scans=320, with_ate=True):
          windows=[float(dev.max()), float(om.loop_closures)])
 
 
+def bench_ate_plicp(n_scans=320, n_oracle=60):
+    """Accuracy for the lesson3 PL-ICP keyframe odometry — the only
+    workload that previously had no recorded accuracy number.
+
+    - ``ate_rmse_plicp``            odometry trajectory vs simulator truth
+      over a >=300-scan circuit of the boxes world (windows: [worst
+      per-scan error, scan count]).
+    - ``ate_rmse_plicp_vs_oracle``  the engine's trajectory vs the
+      CSM-exact f64 oracle node on the identical first ``n_oracle``
+      scans (the oracle CSM is a NumPy port; 60 scans keeps the suite
+      run bounded) — "distance from what the C++ computes".
+
+    CAVEAT (documented by the reference itself, README.md 3.2 讲座3):
+    PL-ICP is pure frame-to-keyframe odometry — no loop closure, no map.
+    It drifts without bound on long runs and the reference documents it
+    failing outright in corridor (退化) environments; this fixture is a
+    feature-rich room squarely inside its operating envelope, so the
+    number characterizes the matcher, not corridor robustness."""
+    import tpuslam.core.se2 as se2
+    from tpuslam.core.config import PlicpConfig
+    from tpuslam.core.scan import make_scan
+    from tpuslam.io.simulate import (
+        circle_trajectory,
+        simulate_scan,
+        world_with_boxes,
+    )
+    from tpuslam.models import plicp_odometry
+
+    import jax.numpy as jnp
+
+    segs = world_with_boxes()
+    nb = 360
+    range_min, range_max = 0.05, 19.0
+    cfg = PlicpConfig(num_beams=nb, kf_scan_count=6)
+    # ~0.075 m + 3.6 deg per scan — inside the keyframe matcher's basin
+    # (the reference node drives comparable per-scan motion at 10 Hz)
+    traj = circle_trajectory(
+        radius=1.2, num_poses=n_scans, full_turns=n_scans / 100.0
+    )
+    # 1 cm gaussian range noise: on noise-free scans PL-ICP converges to
+    # micrometers and the metric says nothing about the matcher
+    rng = np.random.default_rng(3)
+    metas = [simulate_scan(segs, p, num_beams=nb, max_range=20.0,
+                           noise_std=0.01, rng=rng)
+             for p in traj]
+    scans = [make_scan(r, amin, ainc, range_min, range_max, num_beams=nb)
+             for r, amin, ainc in metas]
+
+    st = plicp_odometry.init_state(cfg)
+    t0 = jnp.asarray(traj[0], jnp.float32)
+    poses = []
+    for sc in scans:
+        st, info = plicp_odometry.step(cfg, st, sc, dt=0.1)
+        poses.append(np.asarray(info.pose, np.float64))
+    tp = np.stack(poses)
+    rel_true = np.stack([
+        np.asarray(se2.relative(t0, jnp.asarray(p, jnp.float32)))
+        for p in traj
+    ]).astype(np.float64)
+    err = np.sqrt(np.sum((tp[:, :2] - rel_true[:, :2]) ** 2, 1))
+    emit("ate_rmse_plicp", float(np.sqrt(np.mean(err**2))), "m",
+         windows=[float(err.max()), float(n_scans)])
+
+    # ---- vs the f64 oracle node on the first n_oracle scans
+    import copy
+
+    from tpuslam.oracle.plicp import OracleCsm, OracleLdp, _ominus, _oplus
+
+    csm = OracleCsm(min_reading=range_min, max_reading=range_max)
+    kf_ldp = None
+    base_in_odom = np.zeros(3)
+    base_in_kf = np.zeros(3)
+    velocity = np.zeros(3)
+    scan_count = 0
+    dt = 0.1
+    oracle_poses = []
+    for r, amin, ainc in metas[:n_oracle]:
+        ldp = OracleLdp.from_scan(r, amin, ainc, range_min, range_max)
+        if kf_ldp is None:
+            kf_ldp = ldp
+            oracle_poses.append(base_in_odom.copy())
+            continue
+        pred = velocity * dt
+        guess = _oplus(
+            _oplus(_ominus(base_in_odom), _oplus(pred, base_in_odom)),
+            _oplus(_ominus(base_in_kf), base_in_odom),
+        )
+        res = csm.sm_icp(copy.deepcopy(kf_ldp), copy.deepcopy(ldp), guess)
+        if res.valid:
+            corr = res.x
+            new_pose = _oplus(base_in_kf, corr)
+            velocity = np.asarray(se2.log(se2.relative(
+                jnp.asarray(base_in_odom), jnp.asarray(new_pose)))) / dt
+            base_in_odom = new_pose
+        scan_count += 1
+        d = _oplus(_ominus(base_in_kf), base_in_odom)
+        if (abs(d[2]) > cfg.kf_dist_angular
+                or scan_count == cfg.kf_scan_count
+                or d[0] ** 2 + d[1] ** 2 > cfg.kf_dist_linear ** 2):
+            if scan_count == cfg.kf_scan_count:
+                scan_count = 0
+            kf_ldp = ldp
+            base_in_kf = base_in_odom.copy()
+        oracle_poses.append(base_in_odom.copy())
+    op = np.stack(oracle_poses)
+    dev = np.sqrt(np.sum((tp[:n_oracle, :2] - op[:, :2]) ** 2, 1))
+    emit("ate_rmse_plicp_vs_oracle", float(np.sqrt(np.mean(dev**2))), "m",
+         windows=[float(dev.max()), float(n_oracle)])
+
+
 def bench_ate_hector(n_scans=320):
     """Accuracy north star for the hector engine: ATE-RMSE vs simulator
     truth over a >=300-scan circuit of the boxes world with NO odometry —
@@ -820,6 +930,7 @@ def main():
     bench_karto_online(32 if args.quick else 96)
     bench_karto_realistic(96 if args.quick else 320)
     bench_ate_hector(96 if args.quick else 320)
+    bench_ate_plicp(96 if args.quick else 320, 24 if args.quick else 60)
     bench_grid(64 if args.quick else 256, iters)
     bench_features(batch, iters)
     bench_undistort(batch, iters)
