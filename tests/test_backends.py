@@ -32,6 +32,59 @@ def test_all_reference_backends(name):
     assert np.allclose(out[0], poses[0])  # gauge
 
 
+def bad_init_problem(n=24, L=8.0, ang_noise=1.4, conflict=3.0, seed=1):
+    """A large-residual, strongly-nonlinear graph: long odometry edges
+    (8 m — the rotation Jacobian R'(theta)*t scales with |t|), mutually
+    inconsistent long-range edges (cost at the optimum is far from zero,
+    so Gauss-Newton's dropped second-order term matters), and a heavily
+    corrupted initialization (sigma 1.4 rad / 1 m)."""
+    rng = np.random.default_rng(seed)
+    truth = np.zeros((n, 3))
+    truth[:, 0] = L * np.arange(n)
+    prec = np.eye(3) * 50
+    edges = []
+    for i in range(n - 1):
+        edges.append((i, i + 1, np.array([L, 0.0, 0.0]), prec))
+    for i in range(0, n - 4, 3):
+        edges.append((
+            i, i + 4,
+            np.array([4 * L + conflict, rng.normal(0, conflict), 0.0]),
+            prec,
+        ))
+    init = truth.copy()
+    init[1:, 2] += rng.normal(0, ang_noise, n - 1)
+    init[1:, :2] += rng.normal(0, 1.0, (n - 1, 2))
+    return init, edges
+
+
+def test_backends_differ_as_the_reference_adapters_would():
+    """The solver seam is a SEAM, not four names for one behavior: on a
+    badly-initialized large-residual graph the g2o preset (true
+    Gauss-Newton — unconditional steps, no damping, exactly
+    OptimizationAlgorithmGaussNewton's failure mode, g2o_solver.cc:112)
+    oscillates an order of magnitude above the optimum, while the LM
+    presets (spa/ceres/gtsam: reject + lambda-escalate, spa_solver.cc:
+    43-61 / ceres_solver.cc:131-196 / gtsam_solver.cc:30-99) recover.
+    On well-conditioned graphs all four agree (test_all_reference_
+    backends above)."""
+    init, edges = bad_init_problem()
+    finals = {}
+    for name in ("spa_solver", "ceres_solver", "g2o_solver", "gtsam_solver"):
+        g = graph_from_edges(init, edges)
+        out, st = make_solver(name).compute(g)
+        finals[name] = float(st.final_cost)
+        if name == "g2o_solver":
+            # GN applies every step unconditionally
+            assert int(st.good_iters) == 40, int(st.good_iters)
+            assert float(st.final_lambda) == 0.0
+    # the LM flavors all land near the (large-residual) optimum
+    assert finals["spa_solver"] < 1000, finals
+    assert finals["ceres_solver"] < 1000, finals
+    assert finals["gtsam_solver"] < 1000, finals
+    # ... and pure GN does not: it oscillates well above it
+    assert finals["g2o_solver"] > 5 * finals["spa_solver"], finals
+
+
 def test_unknown_backend_raises():
     with pytest.raises(KeyError):
         make_solver("nope")

@@ -53,11 +53,13 @@ class LmSolver:
         cg_iters: int = 60,
         init_lambda: float = 1e-4,
         n_fixed: int = 1,
+        gauss_newton: bool = False,
     ):
         self.num_iters = num_iters
         self.cg_iters = cg_iters
         self.init_lambda = init_lambda
         self.n_fixed = n_fixed
+        self.gauss_newton = gauss_newton
 
     def compute(self, graph: PoseGraph) -> tuple[Array, SolveStats]:
         return optimize(
@@ -66,6 +68,7 @@ class LmSolver:
             cg_iters=self.cg_iters,
             init_lambda=self.init_lambda,
             n_fixed=self.n_fixed,
+            gauss_newton=self.gauss_newton,
         )
 
 
@@ -75,7 +78,13 @@ _REGISTRY: dict[str, Callable[[], ScanSolver]] = {
     # max_num_iterations=100 (ceres_solver.cc:188), g2o optimize(40)
     # (g2o_solver.cc:112), gtsam maxIterations=500 (gtsam_solver.cc:82)
     "ceres_solver": lambda: LmSolver(num_iters=100, init_lambda=1e-8),
-    "g2o_solver": lambda: LmSolver(num_iters=40, init_lambda=1e-8),
+    # TRUE Gauss-Newton semantics: unconditional steps, no damping — the
+    # reference's g2o adapter runs OptimizationAlgorithmGaussNewton
+    # (g2o_solver.cc:112), which diverges where LM recovers; pinned as a
+    # behavior in test_backends.py
+    "g2o_solver": lambda: LmSolver(
+        num_iters=40, init_lambda=0.0, gauss_newton=True
+    ),
     "gtsam_solver": lambda: LmSolver(num_iters=500, init_lambda=1e-5),
 }
 

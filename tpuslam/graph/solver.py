@@ -226,7 +226,10 @@ class SolveStats(NamedTuple):
     final_lambda: Array
 
 
-@partial(jax.jit, static_argnames=("num_iters", "n_fixed", "cg_iters"))
+@partial(
+    jax.jit,
+    static_argnames=("num_iters", "n_fixed", "cg_iters", "gauss_newton"),
+)
 def optimize(
     graph: PoseGraph,
     *,
@@ -235,8 +238,17 @@ def optimize(
     cg_iters: int = 50,
     cg_tol: float = 1e-6,
     init_lambda: float = 1e-4,
+    gauss_newton: bool = False,
 ) -> tuple[Array, SolveStats]:
-    """LM loop (doSPA, spa2d.cpp:425-609); returns optimized poses + stats."""
+    """LM loop (doSPA, spa2d.cpp:425-609); returns optimized poses + stats.
+
+    ``gauss_newton=True`` reproduces plain GN iteration semantics — every
+    step is applied UNCONDITIONALLY and lambda stays at ``init_lambda``
+    (the reference's g2o adapter runs OptimizationAlgorithmGaussNewton,
+    g2o_solver.cc:42-138, which has no step rejection and so can diverge
+    on a bad initialization where LM's reject/escalate recovers; the
+    backend seam must preserve that behavioral difference, not just the
+    iteration caps)."""
     poses0 = graph.poses
     cost0 = cost(graph, poses0)
 
@@ -250,12 +262,17 @@ def optimize(
         new_poses = poses + dx
         new_poses = new_poses.at[:, 2].set(se2.wrap_angle(new_poses[:, 2]))
         new_cost = cost(graph, new_poses)
-        accept = new_cost < cur_cost
+        accept = (
+            jnp.ones((), bool) if gauss_newton else new_cost < cur_cost
+        )
 
         poses_n = jnp.where(accept, new_poses, poses)
         cost_n = jnp.where(accept, new_cost, cur_cost)
-        lam_n = jnp.where(accept, lam * 0.5, lam * laminc)
-        laminc_n = jnp.where(accept, laminc, laminc * 2.0)
+        if gauss_newton:
+            lam_n, laminc_n = lam, laminc  # no damping schedule in GN
+        else:
+            lam_n = jnp.where(accept, lam * 0.5, lam * laminc)
+            laminc_n = jnp.where(accept, laminc, laminc * 2.0)
         good_n = good + accept.astype(jnp.int32)
 
         keep = lambda new, old: jnp.where(done, old, new)
