@@ -210,3 +210,27 @@ def test_karto_tf_only_bag(tmp_path):
     assert n == ra["scans_processed"]
     ate = np.sqrt(((poses[:, :2] - true[:n, :2]) ** 2).sum(1)).mean()
     assert ate < 0.2, ate
+
+
+def test_karto_undistort_improves_ate():
+    """lesson5 composed into the SLAM workload: on a motion-distorted
+    synthetic log (--distorted casts each beam from the pose actually
+    swept during acquisition), `karto --undistort` runs the gyro/odom
+    correction in front of the matcher — the reference's node chain,
+    lidar_undistortion.launch — and lands measurably closer to truth."""
+    common = ("--synthetic", "--distorted", "--num-scans", "24",
+              "--num-beams", "180", "--poses-per-rev", "30")
+    raw = run_cli("karto", *common)
+    fix = run_cli("karto", *common, "--undistort")
+    assert raw["scans_processed"] > 5 and fix["scans_processed"] > 5
+    assert fix["ate_rmse"] < raw["ate_rmse"], (raw, fix)
+    assert fix["ate_rmse"] < 0.08, fix
+
+
+def test_hector_undistort_cmd():
+    """`hector --undistort` runs end-to-end on a distorted log and stays
+    inside its tracking envelope."""
+    r = run_cli("hector", "--synthetic", "--distorted", "--undistort",
+                "--num-scans", "10", "--num-beams", "240",
+                "--poses-per-rev", "120")
+    assert r["ate_rmse"] < 0.12, r

@@ -61,6 +61,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     )
     p.add_argument("--synthetic", action="store_true",
                    help="generate a synthetic log instead of --log")
+    p.add_argument("--distorted", action="store_true",
+                   help="with --synthetic: simulate rolling-shutter motion "
+                   "distortion (beams cast from the poses swept during "
+                   "acquisition) — the effect --undistort corrects")
     p.add_argument("--num-scans", type=int, default=60)
     p.add_argument("--poses-per-rev", type=int, default=40,
                    help="synthetic circle density (scan-to-scan motion)")
@@ -82,6 +86,13 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    "plicp_odometry.cc:257-280); upside-down mounts "
                    "(|roll| ~ pi) are auto-detected and their range arrays "
                    "reversed, karto_slam.cc:417-425")
+    p.add_argument("--undistort", action="store_true",
+                   help="run lesson5's gyro/odometry motion correction on "
+                   "every scan before matching — the reference's node "
+                   "chain, lidar_undistortion.launch feeding the matcher "
+                   "(lidar_undistortion.cc:339-447); needs per-beam "
+                   "stamps (a log with time_increment > 0) to have any "
+                   "effect")
 
 
 def _laser_registry(args, log=None):
@@ -110,6 +121,49 @@ def _laser_registry(args, log=None):
     return None, None
 
 
+def _make_undistorter(args, log):
+    """Per-scan motion corrector for --undistort (or None).
+
+    Returns ``fn(i, scan) -> Scan`` applying lesson5's correction with
+    the log's own gyro + odometry, chained in front of the matcher as
+    the reference's launch graph chains the node
+    (lidar_undistortion.launch).  Scan i's beams sweep forward from its
+    stamp — beam-0 frame = the pose at stamps[i] — so the motion bracket
+    is [stamps[i], stamps[i+1]] (offline replay has the next sample; the
+    reference node equivalently buffers until TF covers the sweep,
+    lidar_undistortion.cc:250-312).  The last scan passes through
+    uncorrected."""
+    if not getattr(args, "undistort", False):
+        return None
+    import jax.numpy as jnp
+
+    from tpuslam.core.config import UndistortConfig
+    from tpuslam.models.undistort import make_imu_buffer, undistorted_scan
+
+    cfg = UndistortConfig()
+
+    def fn(i, scan):
+        if i + 1 >= len(log):
+            return scan  # no bracketing sample after the final scan
+        t0, t1 = float(log.stamps[i]), float(log.stamps[i + 1])
+        imu = make_imu_buffer(
+            np.array([t0, t1]), np.array([log.imu_wz[i + 1]] * 2), 64
+        )
+        a, b = log.odom[i], log.odom[i + 1]
+        ca, sa = np.cos(a[2]), np.sin(a[2])
+        d = b[:2] - a[:2]
+        rel = np.array([
+            ca * d[0] + sa * d[1],
+            -sa * d[0] + ca * d[1],
+            np.arctan2(np.sin(b[2] - a[2]), np.cos(b[2] - a[2])),
+        ])
+        return undistorted_scan(
+            cfg, scan, imu, jnp.asarray(rel, jnp.float32), t0, t1
+        )
+
+    return fn
+
+
 def _get_log(args):
     from tpuslam.io import bag
 
@@ -118,6 +172,7 @@ def _get_log(args):
     log, true = bag.synthesize(
         num_scans=args.num_scans, num_beams=args.num_beams, seed=args.seed,
         poses_per_rev=args.poses_per_rev,
+        distorted=getattr(args, "distorted", False),
     )
     return log, true
 
@@ -365,10 +420,12 @@ def cmd_hector(args):
             ray_steps=512,
             map_update_distance_thresh=0.1, map_update_angle_thresh=0.15,
         )
+    undis = _make_undistorter(args, log)
+    scan0 = log.scan(0) if undis is None else undis(0, log.scan(0))
     st = hector_slam.init_state(cfg)
     if true is not None:
         st = st._replace(pose=jnp.asarray(true[0], jnp.float32))
-    st, _ = hector_slam.step(cfg, st, log.scan(0), map_without_matching=True)
+    st, _ = hector_slam.step(cfg, st, scan0, map_without_matching=True)
     timer = StepTimer()
     pub = None
     if getattr(args, "map_stream", None) is not None:
@@ -379,8 +436,9 @@ def cmd_hector(args):
         )
     poses = [np.asarray(st.pose)]
     for i in range(1, len(log)):
+        scan_i = log.scan(i) if undis is None else undis(i, log.scan(i))
         with timer.stage("hector_step"):
-            st, res = hector_slam.step(cfg, st, log.scan(i))
+            st, res = hector_slam.step(cfg, st, scan_i)
         poses.append(np.asarray(st.pose))
         if pub is not None:
             pub.maybe_publish(float(log.stamps[i]))
@@ -414,13 +472,16 @@ def cmd_undistort(args):
     log, _ = _get_log(args)
     cfg = UndistortConfig()
     pts_all = []
-    for i in range(1, len(log)):
-        t0, t1 = float(log.stamps[i - 1]), float(log.stamps[i])
+    # scan i sweeps forward from its stamp (beam-0 frame = pose at
+    # stamps[i]); the bracket is [stamps[i], stamps[i+1]] — the same
+    # convention _make_undistorter uses when chaining into a matcher
+    for i in range(len(log) - 1):
+        t0, t1 = float(log.stamps[i]), float(log.stamps[i + 1])
         imu = make_imu_buffer(
-            np.array([t0, t1]), np.array([log.imu_wz[i]] * 2), 64
+            np.array([t0, t1]), np.array([log.imu_wz[i + 1]] * 2), 64
         )
         # odom relative motion over the scan period
-        a, b = log.odom[i - 1], log.odom[i]
+        a, b = log.odom[i], log.odom[i + 1]
         ca, sa = np.cos(a[2]), np.sin(a[2])
         d = b[:2] - a[:2]
         rel = np.array([ca * d[0] + sa * d[1], -sa * d[0] + ca * d[1],
@@ -472,24 +533,33 @@ def _run_karto(args, log, true, cfg, mapper):
     from tpuslam.utils.timing import StepTimer
 
     registry, laser_frame = _laser_registry(args, log)
+    undis = _make_undistorter(args, log)
 
     def stage(i):
         """Scan + sensor-frame odometry for scan i, honoring the laser
         extrinsic: inverted mounts reverse the range array
         (karto_slam.cc:417-425) and the odometric search center is the
-        LASER's world pose, base ∘ offset (karto_slam.cc:381-405)."""
+        LASER's world pose, base ∘ offset (karto_slam.cc:381-405).
+        --undistort corrects AFTER the extrinsic staging, matching the
+        reference chain (the undistortion node consumes the mounted
+        laser's frames)."""
         if registry is None:
-            return log.scan(i), log.odom[i]
-        from tpuslam.core.scan import make_scan
+            scan = log.scan(i)
+        else:
+            from tpuslam.core.scan import make_scan
 
-        ranges = registry.stage_ranges(laser_frame, log.ranges[i])
-        scan = make_scan(
-            ranges, angle_min=log.angle_min,
-            angle_increment=log.angle_increment, range_min=log.range_min,
-            range_max=log.range_max, time_increment=log.time_increment,
-            num_beams=log.num_beams,
-        )
-        return scan, registry.sensor_pose(laser_frame, log.odom[i])
+            ranges = registry.stage_ranges(laser_frame, log.ranges[i])
+            scan = make_scan(
+                ranges, angle_min=log.angle_min,
+                angle_increment=log.angle_increment,
+                range_min=log.range_min, range_max=log.range_max,
+                time_increment=log.time_increment, num_beams=log.num_beams,
+            )
+        if undis is not None:
+            scan = undis(i, scan)
+        odom_i = (log.odom[i] if registry is None
+                  else registry.sensor_pose(laser_frame, log.odom[i]))
+        return scan, odom_i
 
     timer = StepTimer()
     pub = None
@@ -590,6 +660,7 @@ def main(argv=None):
         "map_stream": ("karto", "hector"),
         "laser_mount": ("karto", "plicp-odometry"),
         "config": ("karto", "hector"),
+        "undistort": ("karto", "hector"),
         "png": ("karto", "hector"),
         "save": ("pointcloud", "features", "scan-match-icp",
                  "plicp-odometry", "occupancy-map", "hector", "undistort",

@@ -278,12 +278,24 @@ def synthesize(
     radius: float = 1.6,
     poses_per_rev: int = 40,
     seed: int = 0,
+    distorted: bool = False,
 ) -> tuple[ScanLog, np.ndarray]:
     """Generate a synthetic scan log + ground-truth poses.
 
     Replaces the reference's external rosbag datasets for tests and CLI
-    demos.  Returns (log, true_poses [T, 3])."""
-    from tpuslam.io.simulate import rect_room, simulate_scan, world_with_boxes
+    demos.  Returns (log, true_poses [T, 3]).
+
+    ``distorted=True`` simulates rolling-shutter motion distortion: scan
+    i's beams are cast from the poses the robot actually sweeps through
+    between true[i] and true[i+1] (constant body twist), the physical
+    effect lesson5's undistortion node corrects.  Scan i's beam-0 frame
+    is true[i] and its sweep spans [stamps[i], stamps[i+1]]."""
+    from tpuslam.io.simulate import (
+        rect_room,
+        simulate_distorted_scan,
+        simulate_scan,
+        world_with_boxes,
+    )
 
     rng = np.random.default_rng(seed)
     segs = world_with_boxes() if world == "boxes" else rect_room(10.0, 8.0)
@@ -303,10 +315,27 @@ def synthesize(
     ranges = np.zeros((num_scans, num_beams), np.float32)
     amin = ainc = 0.0
     for i, p in enumerate(true):
-        r, amin, ainc = simulate_scan(
-            segs, p, num_beams=num_beams, max_range=max_range,
-            noise_std=range_noise, rng=rng,
-        )
+        if distorted and i + 1 < num_scans:
+            a, b = true[i], true[i + 1]
+            ca, sa = np.cos(a[2]), np.sin(a[2])
+            d = b[:2] - a[:2]
+            twist = np.array([
+                (ca * d[0] + sa * d[1]) / dt,
+                (-sa * d[0] + ca * d[1]) / dt,
+                np.arctan2(np.sin(b[2] - a[2]), np.cos(b[2] - a[2])) / dt,
+            ])
+            r, amin, ainc, _ = simulate_distorted_scan(
+                segs, p, twist, num_beams=num_beams, max_range=max_range,
+                scan_period=dt,
+            )
+            if range_noise > 0.0:
+                r = np.where(np.isfinite(r),
+                             r + rng.normal(0, range_noise, r.shape), r)
+        else:
+            r, amin, ainc = simulate_scan(
+                segs, p, num_beams=num_beams, max_range=max_range,
+                noise_std=range_noise, rng=rng,
+            )
         ranges[i] = r.astype(np.float32)
 
     # noisy odometry integration + per-scan yaw rate
@@ -340,6 +369,8 @@ def synthesize(
         angle_increment=float(ainc),
         range_min=0.1,
         range_max=float(max_range),
-        time_increment=dt / max(num_beams, 1),
+        # per-beam firing interval: beam B-1 fires dt after beam 0,
+        # matching simulate_distorted_scan's sweep
+        time_increment=dt / max(num_beams - 1, 1),
     )
     return log, true

@@ -115,6 +115,45 @@ def simulate_scan(
     return r, angle_min, inc
 
 
+def simulate_distorted_scan(
+    segments: np.ndarray,
+    pose0: np.ndarray,
+    twist: np.ndarray,
+    *,
+    num_beams: int = 360,
+    fov: float = 2.0 * np.pi,
+    max_range: float = 30.0,
+    scan_period: float = 0.1,
+) -> tuple[np.ndarray, float, float, np.ndarray]:
+    """One scan acquired while MOVING: beam k is cast from the pose the
+    robot actually occupies at time k/(B-1) * scan_period, integrating a
+    constant body twist (vx, vy, wz) from ``pose0`` — the motion
+    distortion lesson5's node corrects (lidar_undistortion.cc:339-447).
+    Ranges are reported against beam k's NOMINAL angle in the BEAM-0
+    frame, exactly the raw-LaserScan convention.  Returns (ranges,
+    angle_min, angle_increment, end_pose)."""
+    pose0 = np.asarray(pose0, dtype=np.float64)
+    twist = np.asarray(twist, dtype=np.float64)
+    angle_min = -fov / 2.0
+    inc = fov / max(num_beams - 1, 1)
+    ranges = np.empty(num_beams)
+    pose = pose0.copy()
+    dt = scan_period / max(num_beams - 1, 1)
+    for k in range(num_beams):
+        beam_world = pose[2] + angle_min + inc * k
+        ranges[k] = cast_rays(
+            segments, pose[:2], np.array([beam_world]), max_range
+        )[0]
+        # integrate the body twist to the next beam's firing time
+        c, s = np.cos(pose[2]), np.sin(pose[2])
+        pose = np.array([
+            pose[0] + (c * twist[0] - s * twist[1]) * dt,
+            pose[1] + (s * twist[0] + c * twist[1]) * dt,
+            pose[2] + twist[2] * dt,
+        ])
+    return ranges, angle_min, inc, pose
+
+
 def circle_trajectory(
     radius: float = 2.0, num_poses: int = 64, full_turns: float = 1.0
 ) -> np.ndarray:

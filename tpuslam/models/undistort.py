@@ -107,6 +107,40 @@ def integrate_gyro(imu: ImuBuffer, t0: Array, rates: Array) -> Array:
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def undistorted_scan(
+    cfg: UndistortConfig,
+    scan: Scan,
+    imu: ImuBuffer,
+    odom_rel: Array,
+    t0: Array | float,
+    t1: Array | float,
+) -> Scan:
+    """Undistort, then re-express the corrected cloud AS a Scan.
+
+    The reference chains lesson5's node in front of the matchers by
+    topic (lidar_undistortion.launch: bag -> node -> corrected cloud);
+    tpuslam's engines consume Scan containers, and Scan carries per-beam
+    angles, so the corrected points map back exactly: range = |p|,
+    angle = atan2(y, x) — scan_to_points reproduces the corrected cloud
+    bit-for-bit (modulo one f32 polar round-trip).  Planar configs only
+    (three_axis produces out-of-plane points a 2D Scan cannot carry)."""
+    if cfg.three_axis:
+        raise ValueError(
+            "undistorted_scan: three_axis clouds are 3D; consume "
+            "undistort() points directly"
+        )
+    pts, valid = undistort(cfg, scan, imu, odom_rel, t0, t1)
+    r = jnp.hypot(pts[..., 0], pts[..., 1])
+    ang = jnp.arctan2(pts[..., 1], pts[..., 0])
+    return Scan(
+        ranges=jnp.where(valid, r, 0.0),
+        angles=jnp.where(valid, ang, scan.angles),
+        valid=valid,
+        stamps=scan.stamps,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
 def undistort(
     cfg: UndistortConfig,
     scan: Scan,
