@@ -10,6 +10,7 @@ lossy/NaN scans.  If a documented deviation silently grows, these fail.
 
 import dataclasses
 import math
+import os
 
 import jax.numpy as jnp
 import numpy as np
@@ -1069,3 +1070,28 @@ def test_pipeline_parity_multi_sensor():
         true = _np_compose(true, step)
         odom = _np_compose(odom, step + rng.normal(0, [0.01, 0.01, 0.005]))
     assert max_dp < 0.5 * CFG.correlation_search_space_resolution, max_dp
+
+
+# ---------------------------------------------------------------------------
+# Endurance: >=1,500 lossy scans / >=5 closure episodes, deviation bounded
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(
+    os.environ.get("TPUSLAM_ENDURANCE") != "1",
+    reason="~10 CPU-minutes; run with TPUSLAM_ENDURANCE=1 (the recorded "
+    "ENDURANCE.json artifact at repo root is captured by the same harness)",
+)
+def test_endurance_lossy_multiloop():
+    """Long-stream differential: the FULL batched+pipelined KartoMapper vs
+    the f64 OracleMapper over >=1,500 lossy multi-loop scans / >=5 loop
+    closures (Mapper::Process end-to-end, Mapper.cpp:1999-2079).  The
+    assertions live in benchmarks/endurance.py so the standalone artifact
+    run proves exactly what this test proves."""
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+    from benchmarks.endurance import check_endurance, run_endurance
+
+    check_endurance(run_endurance())

@@ -215,3 +215,66 @@ def garland_trajectory(
                 transit(prev, c)
             lap(c)
     return np.stack(poses)
+
+
+def lossy_garland_stream(
+    num_scans: int = 1536,
+    num_beams: int = 120,
+    seed: int = 11,
+    dropout: float = 0.15,
+    step: float = 0.25,
+    max_range: float = 30.0,
+):
+    """Long lossy multi-loop stream for endurance differential runs.
+
+    Repeats the garland course (three circles in a boxes world — the
+    realistic-bench fixture, every lap completion/revisit a genuine karto
+    loop-closure event) for as many rounds as ``num_scans`` needs, with
+    the stress profile of test_pipeline_parity_lossy_loop_closure:
+    ``dropout`` NaN beams per scan and gaussian odometry noise integrated
+    in the odom frame.  Both engines in a differential run must consume
+    the IDENTICAL metas/odoms, so the losses are baked into the returned
+    ranges rather than applied by the caller.
+
+    Returns ``(trues, metas, odoms, world)`` — ground-truth poses [T,3],
+    per-scan ``(ranges, angle_min, angle_increment)``, noisy odometry
+    poses [T,3] (as a list), and the world segments.
+    """
+    import math
+
+    rng = np.random.default_rng(seed)
+    world = world_with_boxes(20.0, 14.0)
+    centers = [(-5.5, -3.0), (0.0, -3.0), (5.5, -3.0)]
+    per_round = len(garland_trajectory(centers, radius=1.6, step=step,
+                                       rounds=1))
+    rounds = max(1, -(-num_scans // per_round))
+    course = garland_trajectory(centers, radius=1.6, step=step,
+                                rounds=rounds)[:num_scans]
+
+    metas, odoms, trues = [], [], []
+    odom = course[0].copy()
+    for i, true in enumerate(course):
+        r, amin, ainc = simulate_scan(world, true, num_beams=num_beams,
+                                      max_range=max_range)
+        r = r.copy()
+        r[rng.random(num_beams) < dropout] = np.nan
+        metas.append((r, amin, ainc))
+        odoms.append(odom.copy())
+        trues.append(true.copy())
+        if i + 1 < len(course):
+            prev, nxt = course[i], course[i + 1]
+            c, s = math.cos(prev[2]), math.sin(prev[2])
+            d = nxt[:2] - prev[:2]
+            rel = np.array([
+                c * d[0] + s * d[1],
+                -s * d[0] + c * d[1],
+                math.atan2(math.sin(nxt[2] - prev[2]),
+                           math.cos(nxt[2] - prev[2])),
+            ])
+            n = rel + rng.normal(0, [0.01, 0.01, 0.005])
+            c, s = math.cos(odom[2]), math.sin(odom[2])
+            odom = np.array([odom[0] + c * n[0] - s * n[1],
+                             odom[1] + s * n[0] + c * n[1],
+                             math.atan2(math.sin(odom[2] + n[2]),
+                                        math.cos(odom[2] + n[2]))])
+    return np.stack(trues), metas, odoms, world
