@@ -2,6 +2,7 @@
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -207,6 +208,40 @@ def test_find_valid_points_parallel_matches_serial():
         a = np.asarray(find_valid_points(*args, parallel=False))
         b = np.asarray(find_valid_points(*args, parallel=True))
         assert np.array_equal(a, b), (trial, B, np.nonzero(a != b))
+
+
+def test_find_valid_points_pallas_batch_matches_serial():
+    """The scans-in-lanes Mosaic walk (ops/pallas_fvp.py, interpret mode
+    on CPU) is bit-identical to vmap(serial) across chain widths, beam
+    counts, invalid patterns, clusters, and the all-invalid edge."""
+    from tpuslam.ops.pallas_fvp import find_valid_points_batch
+
+    rng = np.random.default_rng(17)
+    for trial, (S, B) in enumerate(
+        [(1, 64), (3, 180), (20, 120), (5, 1081), (130, 64)]
+    ):
+        th = np.sort(rng.uniform(-np.pi, np.pi, B))
+        r = np.abs(rng.normal(3, 2, (S, B))).clip(0.11, 30)
+        if trial == 1:
+            r[:] = 0.12  # everything inside the min-dist regime
+        pts = np.stack([r * np.cos(th), r * np.sin(th)], -1)
+        pts += rng.normal(0, 0.5, (S, 1, 2))
+        valid = rng.uniform(size=(S, B)) > (0.3 if trial % 3 else 0.0)
+        if trial == 3:
+            valid[2] = False
+        vp = rng.normal(0, 1, 2)
+        args = (
+            jnp.asarray(pts, jnp.float32),
+            jnp.asarray(valid),
+            jnp.asarray(vp, jnp.float32),
+        )
+        want = np.asarray(
+            jax.vmap(
+                lambda p, v: find_valid_points(p, v, args[2], parallel=False)
+            )(args[0], args[1])
+        )
+        got = np.asarray(find_valid_points_batch(*args))
+        assert np.array_equal(got, want), (trial, np.nonzero(got != want))
 
 
 def test_localize_recovers_global_pose():

@@ -842,21 +842,41 @@ def match_scan(
     refine: bool = True,
 ) -> CorrelativeResult:
     """Full MatchScan: stamp grid, coarse search (+expansion), fine refine."""
-    # visibility filter: the O(log B) parallel formulation wins while the
-    # vmapped all-pairs transient stays small (sequential windows, flush
-    # link chains); long loop-closure chains keep the serial scan, whose
-    # cost is constant in the vmap width (see find_valid_points)
+    # visibility filter.  TPU: ONE Mosaic program walks every chain scan
+    # with scans in lanes (ops/pallas_fvp.py — the vmapped lax.scan pays
+    # ~1.5 us/step of loop overhead, 3.5 ms for a 128-scan loop chain vs
+    # ~25 us in-kernel); selected by the same signal that guards the
+    # response kernel: vmapped callers override response_method away from
+    # "auto"/"pallas" (models/karto.py:1283, parallel/correlative.py:86)
+    # and keep the XLA formulations below, which vmap legally.
     flat_pts = base_pts.reshape(-1, base_pts.shape[-2], 2)
     n_base, n_beams = flat_pts.shape[0], flat_pts.shape[1]
-    fvp_parallel = n_base * n_beams * n_beams <= 16_777_216
-    vp_valid = jax.vmap(
-        lambda p, v: find_valid_points(
-            p, v, center_pose[:2], parallel=fvp_parallel
+    flat_valid = base_valid.reshape(-1, base_valid.shape[-1])
+    use_pallas_fvp = False
+    if jax.default_backend() == "tpu" and spec.response_method in (
+        "auto", "pallas"
+    ):
+        from tpuslam.ops.pallas_fvp import (
+            find_valid_points_batch,
+            vmem_fits_fvp,
         )
-    )(
-        flat_pts,
-        base_valid.reshape(-1, base_valid.shape[-1]),
-    )
+
+        use_pallas_fvp = vmem_fits_fvp(n_base, n_beams)
+    if use_pallas_fvp:
+        vp_valid = find_valid_points_batch(
+            flat_pts, flat_valid, center_pose[:2]
+        )
+    else:
+        # the O(log B) parallel formulation wins while the vmapped
+        # all-pairs transient stays small (sequential windows, flush link
+        # chains); long loop-closure chains keep the serial scan, whose
+        # cost is constant in the vmap width (see find_valid_points)
+        fvp_parallel = n_base * n_beams * n_beams <= 16_777_216
+        vp_valid = jax.vmap(
+            lambda p, v: find_valid_points(
+                p, v, center_pose[:2], parallel=fvp_parallel
+            )
+        )(flat_pts, flat_valid)
     grid = build_correlation_grid(
         spec, center_pose[:2], base_pts, vp_valid.reshape(base_valid.shape)
     )

@@ -213,6 +213,36 @@ def main() -> int:
         )
         check(f"nearest (ICP) B={n_beams}", eq)
 
+    # ---- 3b. the scans-in-lanes FindValidPoints walk (ops/pallas_fvp.py)
+    # must be bit-identical to the vmapped serial scan, Mosaic-compiled at
+    # the production operating points (seq buffer, link chain, loop chain)
+    from tpuslam.match.correlative import find_valid_points
+    from tpuslam.ops.pallas_fvp import find_valid_points_batch
+
+    rng = np.random.default_rng(23)
+    for s_chain, n_beams in ((20, 180), (8, 512), (128, 1081)):
+        th = np.sort(rng.uniform(-np.pi, np.pi, n_beams))
+        rr = np.abs(rng.normal(8, 6, (s_chain, n_beams))).clip(0.11, 50)
+        pts = np.stack([rr * np.cos(th), rr * np.sin(th)], -1)
+        pts += rng.normal(0, 0.5, (s_chain, 1, 2))
+        valid = rng.uniform(size=(s_chain, n_beams)) > 0.2
+        if s_chain > 2:
+            valid[1] = False  # an all-invalid chain row
+        vp = jnp.asarray(rng.normal(0, 1, 2), jnp.float32)
+        jp = jnp.asarray(pts, jnp.float32)
+        jv = jnp.asarray(valid)
+        want = np.asarray(
+            jax.vmap(
+                lambda p, v: find_valid_points(p, v, vp, parallel=False)
+            )(jp, jv)
+        )
+        got = np.asarray(find_valid_points_batch(jp, jv, vp))
+        check(
+            f"pallas fvp S={s_chain} B={n_beams}",
+            np.array_equal(got, want),
+            f"{int((got != want).sum())} mask diffs",
+        )
+
     # ---- 4. end-to-end: a full MatchScan must be bit-identical between
     # the pallas response method and the XLA fft/patch methods on-TPU
     import dataclasses
