@@ -531,3 +531,34 @@ def _box_segs(center, half=0.6):
     corners = np.array([[cx - half, cy - half], [cx + half, cy - half],
                         [cx + half, cy + half], [cx - half, cy + half]])
     return np.stack([corners, np.roll(corners, -1, axis=0)], axis=1)
+
+
+def test_fetch_accounting_counts_every_transport_blocking():
+    """Every device->host fetch funnels through KartoMapper._get so
+    benchmark artifacts can split engine time from host-link RTT
+    (suite's excl_fetch fields).  Pin: processing increments the
+    counters, wall time spent inside fetches is non-negative and below
+    total wall, and the accounting does not perturb trajectories."""
+    import time as _time
+
+    poses = [np.array([0.25 * i, 0.0, 0.0]) for i in range(6)]
+    scans = [scan_at(p) for p in poses]
+
+    m = KartoMapper(CFG, max_scans=16)
+    t0 = _time.perf_counter()
+    for i, (s, p) in enumerate(zip(scans, poses)):
+        m.process(s, p, time=float(i))
+    wall = _time.perf_counter() - t0
+    assert m.stats["fetch_count"] >= len(scans)  # >=1 match fetch per scan
+    assert 0.0 <= m.stats["fetch_seconds"] <= wall
+
+    # batch path books its flush fetches through the same counters
+    mb = KartoMapper(CFG, max_scans=16)
+    mb.process_batch(scans, poses, batch_size=4)
+    assert mb.stats["fetch_count"] > 0
+    assert mb.stats["fetch_seconds"] >= 0.0
+    np.testing.assert_allclose(
+        np.asarray([m.poses[i] for i in range(len(m.records))]),
+        np.asarray([mb.poses[i] for i in range(len(mb.records))]),
+        atol=1e-6,
+    )
